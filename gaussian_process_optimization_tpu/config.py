@@ -1,0 +1,45 @@
+"""Global runtime configuration.
+
+The reference stack (GPy) uses an INI cascade (``GPy/GPy/util/config.py:17-29``) to toggle
+cython/openmp/plotting. Here the analogous switches are: whether the Pallas TPU kernels are
+used for covariance construction (vs. the pure ``jnp`` path), numeric floors, and the jitter
+ladder shape (``GPy/GPy/util/linalg.py:56-74``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Literal
+
+
+@dataclasses.dataclass
+class Config:
+    # 'auto': use Pallas kernels on TPU backends for sufficiently large float32 problems.
+    use_pallas: Literal["auto", True, False] = "auto"
+    # Run Pallas kernels in interpreter mode (CPU testing).
+    pallas_interpret: bool = False
+    # Additive noise floor on the Gaussian-likelihood variance, matching
+    # GPy exact_gaussian_inference.py:52 (`Ky += (sigma2 + 1e-8) I`).
+    noise_jitter: float = 1e-8
+    # jitchol ladder: first jitter = mean(diag)*base, then *10 each try, `maxtries` tries.
+    jitchol_base: float = 1e-6
+    jitchol_maxtries: int = 5
+    # Predictive-variance floor (GPyOpt gpmodel.py:99 clips at 1e-10 before sqrt).
+    variance_floor: float = 1e-10
+    # Acquisition std floor (GPyOpt util/general.py:121 floors s at 1e-10).
+    std_floor: float = 1e-10
+
+
+config = Config()
+
+if os.environ.get("GPO_TPU_PALLAS_INTERPRET", ""):
+    config.pallas_interpret = True
+
+
+def pallas_enabled() -> bool:
+    """Resolve the use_pallas tri-state against the actual backend."""
+    if config.use_pallas == "auto":
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return bool(config.use_pallas)

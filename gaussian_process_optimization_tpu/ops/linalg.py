@@ -1,0 +1,174 @@
+"""Core dense linear algebra for GP inference, jit-safe on TPU.
+
+TPU-native rebuild of ``GPy/GPy/util/linalg.py`` (jitchol:56, dtrtrs:95, dpotrs:116,
+dpotri:127, pdinv:193, tdot_blas:299, symmetrify:356, backsub_both_sides:381) and the
+Cython helpers in ``GPy/GPy/util/linalg_cython.pyx`` (symmetrify, cholupdate). LAPACK
+calls become XLA ops on HBM-resident data; the exception-driven jitter retry becomes a
+``lax.while_loop`` ladder (jit-safe, and in the common case runs exactly one Cholesky).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import config
+
+
+def tdot(X: jnp.ndarray) -> jnp.ndarray:
+    """X @ X.T with symmetric output (GPy tdot_blas, util/linalg.py:299 — DSYRK)."""
+    A = jnp.matmul(X, X.T, preferred_element_type=X.dtype)
+    return symmetrify(A)
+
+
+def symmetrify(A: jnp.ndarray, upper: bool = False) -> jnp.ndarray:
+    """Force exact symmetry by copying one triangle (GPy util/linalg.py:356)."""
+    if upper:
+        t = jnp.triu(A)
+        return t + jnp.triu(A, 1).T
+    t = jnp.tril(A)
+    return t + jnp.tril(A, -1).T
+
+
+def jitchol(A: jnp.ndarray, maxtries: int | None = None):
+    """Cholesky with a progressive jitter ladder, matching GPy jitchol semantics
+    (util/linalg.py:56-74): try plain Cholesky; on failure add ``mean(diag)*1e-6`` to
+    the diagonal, multiplying by 10 each retry, up to `maxtries` retries.
+
+    Branch-by-``lax.while_loop`` (not exceptions): XLA's Cholesky returns NaNs for
+    non-PD inputs, so failure detection is a finite-ness check. Returns
+    ``(L, jitter_used, ok)``; `ok` is False if even the largest jitter failed.
+    """
+    if maxtries is None:
+        maxtries = config.jitchol_maxtries
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
+
+    def _attempt(k):
+        jitter = jnp.where(
+            k == 0,
+            jnp.zeros_like(diag_mean),
+            diag_mean * config.jitchol_base * 10.0 ** jnp.maximum(k - 1, 0),
+        ).astype(A.dtype)
+        L = jnp.linalg.cholesky(A + jitter * eye)
+        ok = jnp.all(jnp.isfinite(L))
+        return L, jitter, ok
+
+    L0, j0, ok0 = _attempt(jnp.int32(0))
+
+    def cond(state):
+        k, _, _, ok = state
+        return jnp.logical_and(jnp.logical_not(ok), k < maxtries)
+
+    def body(state):
+        k, _, _, _ = state
+        k = k + 1
+        L, jitter, ok = _attempt(k)
+        return (k, L, jitter, ok)
+
+    _, L, jitter, ok = lax.while_loop(cond, body, (jnp.int32(0), L0, j0, ok0))
+    return L, jitter, ok
+
+
+def solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """L x = B with L lower triangular (GPy dtrtrs(..., lower=1), util/linalg.py:95)."""
+    return lax.linalg.triangular_solve(
+        L, B, left_side=True, lower=True, transpose_a=False
+    )
+
+
+def solve_lower_t(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """L^T x = B with L lower triangular (dtrtrs trans=1)."""
+    return lax.linalg.triangular_solve(
+        L, B, left_side=True, lower=True, transpose_a=True
+    )
+
+
+def cho_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """(L L^T) x = B given lower Cholesky L (GPy dpotrs, util/linalg.py:116)."""
+    return solve_lower_t(L, solve_lower(L, B))
+
+
+def dpotri(L: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of A = L L^T from its Cholesky factor (GPy dpotri, util/linalg.py:127)."""
+    n = L.shape[-1]
+    Li = solve_lower(L, jnp.eye(n, dtype=L.dtype))
+    return symmetrify(Li.T @ Li)
+
+
+def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
+    """log|A| = 2 * sum(log(diag(L)))."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+def pdinv(A: jnp.ndarray, maxtries: int | None = None):
+    """(A^-1, L, L^-1, logdet) for symmetric PD A (GPy pdinv, util/linalg.py:193)."""
+    L, _, _ = jitchol(A, maxtries)
+    n = A.shape[-1]
+    Li = solve_lower(L, jnp.eye(n, dtype=A.dtype))
+    Ai = symmetrify(Li.T @ Li)
+    return Ai, L, Li, logdet_from_chol(L)
+
+
+def backsub_both_sides(L: jnp.ndarray, X: jnp.ndarray, transpose: str = "left"):
+    """L^-T X L^-1 ('left') or L^-1 X L^-T ('right'), cf. GPy util/linalg.py:381."""
+    if transpose == "left":
+        tmp = lax.linalg.triangular_solve(
+            L, X, left_side=True, lower=True, transpose_a=True
+        )
+        return lax.linalg.triangular_solve(
+            L, tmp.T, left_side=True, lower=True, transpose_a=True
+        ).T
+    tmp = solve_lower(L, X)
+    return solve_lower(L, tmp.T).T
+
+
+def cholupdate(L: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Rank-1 Cholesky update: chol(L L^T + x x^T).
+
+    Replaces the Cython loop in ``GPy/GPy/util/linalg_cython.pyx`` (cholupdate) with a
+    ``lax.fori_loop`` of full-vector masked Givens-style updates (O(n^2), vectorized
+    across rows on the VPU).
+    """
+    L = jnp.asarray(L)
+    x = jnp.asarray(x).reshape(-1)
+    n = x.shape[0]
+    idx = jnp.arange(n)
+
+    def body(k, state):
+        L, x = state
+        Lkk = L[k, k]
+        xk = x[k]
+        r = jnp.sqrt(Lkk**2 + xk**2)
+        c = r / Lkk
+        s = xk / Lkk
+        col = L[:, k]
+        below = idx > k
+        new_col = jnp.where(below, (col + s * x) / c, col)
+        new_col = new_col.at[k].set(r)
+        L = L.at[:, k].set(jnp.where(idx >= k, new_col, col))
+        x = jnp.where(below, c * x - s * new_col, x)
+        return L, x
+
+    L, _ = lax.fori_loop(0, n, body, (L, x))
+    return L
+
+
+def masked_gram(K: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+    """Pad-safe Gram matrix: rows/cols where mask==0 are replaced by identity.
+
+    This keeps a padded buffer positive-definite with logdet contribution 0 from the
+    padding block, so fit/predict compile once at a fixed max-N (SURVEY §7 'Dynamic
+    shapes': X grows every BO iteration; padded buffers avoid recompilation).
+    """
+    if mask is None:
+        return K
+    m = mask.astype(K.dtype)
+    outer = m[:, None] * m[None, :]
+    return K * outer + jnp.diag(1.0 - m)
+
+
+def trace_dot(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """trace(A @ B) without forming the product (GPy util/linalg.py trace_dot)."""
+    return jnp.sum(A * B.T)

@@ -1,0 +1,82 @@
+"""Flatten/unflatten model parameter pytrees to unconstrained optimizer vectors.
+
+Plays the role of paramz's `optimizer_array` (the unconstrained view the L-BFGS driver
+sees, cf. SURVEY call stack 3.4): `pack` applies per-leaf inverse transforms and ravels
+free leaves into one vector; `unpack` reconstructs the constrained pytree, reinstating
+fixed leaves from the template (GPy "fixes" parameters, e.g. the Gaussian noise under
+exact_feval, GPyOpt/GPyOpt/models/gpmodel.py:72-76).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from .transforms import IDENTITY, Transform
+
+
+class Packer:
+    """Bidirectional map: constrained parameter pytree <-> flat unconstrained vector.
+
+    transforms: pytree matching `template` (prefix trees allowed via broadcast), each
+        leaf a Transform or None (identity).
+    fixed: pytree of bools (leaf granularity); fixed leaves are excluded from the vector.
+    """
+
+    def __init__(self, template: Any, transforms: Any = None, fixed: Any = None):
+        leaves, treedef = jax.tree_util.tree_flatten(template)
+        self._treedef = treedef
+        self._template_leaves = [jnp.asarray(l) for l in leaves]
+        self._shapes = [l.shape for l in self._template_leaves]
+        self._sizes = [int(l.size) for l in self._template_leaves]
+        self._dtype = jnp.result_type(*self._template_leaves) if leaves else jnp.float32
+
+        def _broadcast(spec, default):
+            if spec is None:
+                return [default] * len(leaves)
+            spec_leaves = jax.tree_util.tree_leaves(
+                spec, is_leaf=lambda x: isinstance(x, Transform)
+            )
+            if len(spec_leaves) == len(leaves):
+                return list(spec_leaves)
+            raise ValueError(
+                f"spec has {len(spec_leaves)} leaves, template has {len(leaves)}"
+            )
+
+        self._transforms = _broadcast(transforms, IDENTITY)
+        if fixed is None:
+            self._fixed = [False] * len(leaves)
+        else:
+            self._fixed = [bool(f) for f in jax.tree_util.tree_leaves(fixed)]
+        self.num_free = sum(s for s, f in zip(self._sizes, self._fixed) if not f)
+
+    def pack(self, params: Any) -> jnp.ndarray:
+        leaves = jax.tree_util.tree_leaves(params)
+        parts = []
+        for leaf, t, fx in zip(leaves, self._transforms, self._fixed):
+            if fx:
+                continue
+            parts.append(jnp.ravel(t.inverse(jnp.asarray(leaf))))
+        if not parts:
+            return jnp.zeros((0,), dtype=self._dtype)
+        return jnp.concatenate(parts)
+
+    def unpack(self, u: jnp.ndarray) -> Any:
+        out = []
+        idx = 0
+        for tmpl, shape, size, t, fx in zip(
+            self._template_leaves, self._shapes, self._sizes, self._transforms, self._fixed
+        ):
+            if fx:
+                out.append(tmpl)
+            else:
+                seg = jax.lax.dynamic_slice_in_dim(u, idx, size, axis=0)
+                out.append(t.forward(seg.reshape(shape).astype(tmpl.dtype)))
+                idx += size
+        return jax.tree_util.tree_unflatten(self._treedef, out)
+
+    def map_constrained(self, fn: Callable, params: Any) -> list:
+        """Apply fn(leaf_value, is_fixed) over constrained leaves (for priors)."""
+        leaves = jax.tree_util.tree_leaves(params)
+        return [fn(l, fx) for l, fx in zip(leaves, self._fixed)]

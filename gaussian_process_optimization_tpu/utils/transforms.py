@@ -1,0 +1,77 @@
+"""Constraint transforms between unconstrained optimizer space and constrained parameters.
+
+The reference optimizes in unconstrained space via paramz transforms; positivity uses
+``Logexp`` (softplus, see paramz transformations — referenced from
+``GPy/GPy/kern/src/stationary.py:80-81`` where variance/lengthscale are `Param(..., Logexp())`).
+Here the transforms are pure functions, applied *inside* the jitted loss so autodiff chains
+through them (replacing paramz's hand-plumbed chain rule).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .pytree import pytree_dataclass, static_field
+
+_LIM_VAL = 36.0  # beyond this softplus(x) == x to float64 precision
+
+
+@pytree_dataclass
+class Transform:
+    """Base transform: forward maps unconstrained -> constrained."""
+
+    def forward(self, u):
+        raise NotImplementedError
+
+    def inverse(self, v):
+        raise NotImplementedError
+
+
+@pytree_dataclass
+class Identity(Transform):
+    def forward(self, u):
+        return u
+
+    def inverse(self, v):
+        return v
+
+
+@pytree_dataclass
+class Positive(Transform):
+    """Softplus, numerically identical to paramz `Logexp` within float precision.
+
+    forward(u) = log(1 + exp(u)); linear above the overflow limit.
+    """
+
+    def forward(self, u):
+        u = jnp.asarray(u)
+        return jnp.where(u > _LIM_VAL, u, jnp.logaddexp(0.0, jnp.minimum(u, _LIM_VAL)))
+
+    def inverse(self, v):
+        v = jnp.asarray(v)
+        # log(exp(v) - 1), stable: v + log(1 - exp(-v))
+        safe = jnp.maximum(v, 1e-300)
+        return jnp.where(
+            safe > _LIM_VAL, safe, jnp.log(jnp.expm1(jnp.minimum(safe, _LIM_VAL)))
+        )
+
+
+@pytree_dataclass
+class Logistic(Transform):
+    """Maps R -> (lo, hi) via a scaled sigmoid. Used for box-bounded parameters
+    (e.g. GPyOpt bounds the noise to [1e-9, 1e6] when exact_feval=False,
+    GPyOpt/GPyOpt/models/gpmodel.py:72-76)."""
+
+    lo: float = static_field(default=0.0)
+    hi: float = static_field(default=1.0)
+
+    def forward(self, u):
+        return self.lo + (self.hi - self.lo) / (1.0 + jnp.exp(-jnp.asarray(u)))
+
+    def inverse(self, v):
+        v = jnp.asarray(v)
+        p = jnp.clip((v - self.lo) / (self.hi - self.lo), 1e-15, 1.0 - 1e-15)
+        return jnp.log(p) - jnp.log1p(-p)
+
+
+POSITIVE = Positive()
+IDENTITY = Identity()

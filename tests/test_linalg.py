@@ -1,0 +1,116 @@
+"""Linalg unit tests, mirroring GPy/GPy/testing/linalg_test.py (jitchol jitter semantics,
+trace_dot) plus pad-masking and cholupdate correctness."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_process_optimization_tpu.ops import linalg
+
+
+def _random_pd(rng, n, eps=1e-3):
+    A = rng.standard_normal((n, n))
+    return A @ A.T + eps * np.eye(n)
+
+
+def test_jitchol_pd_no_jitter(rng):
+    A = _random_pd(rng, 32)
+    L, jitter, ok = linalg.jitchol(jnp.asarray(A))
+    assert bool(ok)
+    assert float(jitter) == 0.0
+    np.testing.assert_allclose(np.asarray(L @ L.T), A, rtol=1e-8, atol=1e-8)
+
+
+def test_jitchol_adds_expected_jitter(rng):
+    # Rank-deficient: needs jitter. GPy adds mean(diag)*1e-6 * 10^k (linalg_test.py:5-20).
+    U = rng.standard_normal((40, 10))
+    A = U @ U.T  # PSD, rank 10
+    L, jitter, ok = linalg.jitchol(jnp.asarray(A))
+    assert bool(ok)
+    j = float(jitter)
+    base = float(np.mean(np.diag(A))) * 1e-6
+    assert j > 0
+    # jitter must be one of base * 10^k for k in 0..4
+    ratios = j / (base * 10.0 ** np.arange(5))
+    assert np.any(np.abs(ratios - 1.0) < 1e-10)
+    np.testing.assert_allclose(np.asarray(L @ L.T), A + j * np.eye(40), rtol=1e-7, atol=1e-7)
+
+
+def test_jitchol_fails_gracefully():
+    A = -jnp.eye(8)
+    _, _, ok = linalg.jitchol(A)
+    assert not bool(ok)
+
+
+def test_jitchol_under_jit_and_vmap(rng):
+    As = jnp.asarray(np.stack([_random_pd(rng, 16) for _ in range(4)]))
+    f = jax.jit(jax.vmap(lambda A: linalg.jitchol(A)[0]))
+    Ls = f(As)
+    np.testing.assert_allclose(
+        np.asarray(jnp.matmul(Ls, jnp.swapaxes(Ls, -1, -2))), np.asarray(As), rtol=1e-8, atol=1e-8
+    )
+
+
+def test_solves_and_pdinv(rng):
+    A = _random_pd(rng, 24)
+    B = rng.standard_normal((24, 3))
+    L, _, _ = linalg.jitchol(jnp.asarray(A))
+    x = linalg.cho_solve(L, jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(A @ x), B, rtol=1e-7, atol=1e-7)
+
+    Ai, L2, Li, logdet = linalg.pdinv(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(Ai), np.linalg.inv(A), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(logdet), np.linalg.slogdet(A)[1], rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(Li @ np.asarray(L2)), np.eye(24), atol=1e-7)
+
+    Ai2 = linalg.dpotri(L)
+    np.testing.assert_allclose(np.asarray(Ai2), np.linalg.inv(A), rtol=1e-6, atol=1e-6)
+
+
+def test_tdot_trace_dot_symmetrify(rng):
+    X = rng.standard_normal((10, 5))
+    np.testing.assert_allclose(np.asarray(linalg.tdot(jnp.asarray(X))), X @ X.T, rtol=1e-10)
+    A = rng.standard_normal((7, 7))
+    B = rng.standard_normal((7, 7))
+    np.testing.assert_allclose(
+        float(linalg.trace_dot(jnp.asarray(A), jnp.asarray(B))), np.trace(A @ B), rtol=1e-10
+    )
+    S = linalg.symmetrify(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(S), np.asarray(S).T)
+    np.testing.assert_allclose(np.tril(np.asarray(S)), np.tril(A))
+
+
+def test_backsub_both_sides(rng):
+    A = _random_pd(rng, 12)
+    X = rng.standard_normal((12, 12))
+    L = np.linalg.cholesky(A)
+    out = linalg.backsub_both_sides(jnp.asarray(L), jnp.asarray(X), "left")
+    expected = np.linalg.solve(L.T, np.linalg.solve(L.T, X.T).T)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-8, atol=1e-8)
+    out_r = linalg.backsub_both_sides(jnp.asarray(L), jnp.asarray(X), "right")
+    expected_r = np.linalg.solve(L, np.linalg.solve(L, X.T).T)
+    np.testing.assert_allclose(np.asarray(out_r), expected_r, rtol=1e-8, atol=1e-8)
+
+
+def test_cholupdate(rng):
+    A = _random_pd(rng, 15)
+    x = rng.standard_normal(15)
+    L = np.linalg.cholesky(A)
+    L_up = linalg.cholupdate(jnp.asarray(L), jnp.asarray(x))
+    expected = np.linalg.cholesky(A + np.outer(x, x))
+    np.testing.assert_allclose(np.asarray(L_up), expected, rtol=1e-8, atol=1e-8)
+
+
+def test_masked_gram_padding(rng):
+    n_real, n_pad = 10, 16
+    A = _random_pd(rng, n_real)
+    K = np.zeros((n_pad, n_pad))
+    K[:n_real, :n_real] = A
+    mask = jnp.asarray(np.arange(n_pad) < n_real, dtype=jnp.float64)
+    Km = linalg.masked_gram(jnp.asarray(K), mask)
+    L, jitter, ok = linalg.jitchol(Km)
+    assert bool(ok) and float(jitter) == 0.0
+    # logdet of padded == logdet of real block
+    np.testing.assert_allclose(
+        float(linalg.logdet_from_chol(L)), np.linalg.slogdet(A)[1], rtol=1e-8
+    )
