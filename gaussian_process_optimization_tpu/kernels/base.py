@@ -1,0 +1,100 @@
+"""Kernel (covariance function) base classes.
+
+TPU-native rebuild of the GPy kernel contract (``GPy/GPy/kern/src/kern.py:12``):
+``K``, ``Kdiag``, plus ``Add``/``Prod`` combination algebra (``add.py:10``, ``prod.py:24``)
+and ``active_dims`` input slicing (``kernel_slice_operations.py``).
+
+Design differences from the reference (functional, autodiff-first):
+- Kernels are immutable pytree dataclasses; hyperparameters are array leaves, so
+  ``jax.grad`` replaces the hand-written ``update_gradients_full``/``gradients_X``
+  plumbing (and their Cython/OpenMP hot loops ``stationary_cython.pyx`` /
+  ``stationary_utils.c`` — on TPU those contractions are einsums on the MXU).
+- No caching layer (paramz ``Cache_this``): under ``jit`` XLA CSE merges repeated
+  subexpressions.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class Kernel:
+    """Abstract covariance function."""
+
+    # Static metadata shared by all kernels.
+    input_dim: int = static_field(default=1)
+    active_dims: tuple | None = static_field(default=None)
+
+    # --- slicing (GPy kernel_slice_operations metaclass equivalent) ---
+    def _slice(self, X):
+        if X is None or self.active_dims is None:
+            return X
+        return X[..., jnp.asarray(self.active_dims)]
+
+    # --- public API ---
+    def K(self, X, X2=None):
+        raise NotImplementedError
+
+    def Kdiag(self, X):
+        raise NotImplementedError
+
+    # combination algebra
+    def __add__(self, other):
+        return Add(parts=self._flat_parts(Add) + other._flat_parts(Add))
+
+    def __mul__(self, other):
+        return Prod(parts=self._flat_parts(Prod) + other._flat_parts(Prod))
+
+    def _flat_parts(self, combo_cls):
+        if isinstance(self, combo_cls):
+            return tuple(self.parts)
+        return (self,)
+
+    # gradients via autodiff (interface parity with GPy Kern.gradients_X,
+    # kern.py / stationary.py:271). dL_dK-weighted variants are not needed —
+    # jax.grad over any loss of K handles them — but gradients_X is used by
+    # predictive_gradients and Lipschitz estimation.
+    def gradients_X(self, dL_dK, X, X2=None):
+        import jax
+
+        if X2 is None:
+            f = lambda Xv: jnp.sum(self.K(Xv) * dL_dK)
+        else:
+            f = lambda Xv: jnp.sum(self.K(Xv, X2) * dL_dK)
+        return jax.grad(f)(X)
+
+
+@pytree_dataclass
+class Add(Kernel):
+    """Sum of kernels (GPy add.py:10)."""
+
+    parts: tuple = ()
+
+    def K(self, X, X2=None):
+        return sum(p.K(X, X2) for p in self.parts)
+
+    def Kdiag(self, X):
+        return sum(p.Kdiag(X) for p in self.parts)
+
+
+@pytree_dataclass
+class Prod(Kernel):
+    """Product of kernels (GPy prod.py:24)."""
+
+    parts: tuple = ()
+
+    def K(self, X, X2=None):
+        out = None
+        for p in self.parts:
+            k = p.K(X, X2)
+            out = k if out is None else out * k
+        return out
+
+    def Kdiag(self, X):
+        out = None
+        for p in self.parts:
+            k = p.Kdiag(X)
+            out = k if out is None else out * k
+        return out

@@ -1,0 +1,219 @@
+"""Stationary (isotropic) kernels: K = K_of_r(scaled distance).
+
+Rebuild of ``GPy/GPy/kern/src/stationary.py`` (Stationary:23, _unscaled_dist:155,
+_scaled_dist:176, subclasses Exponential:384, OU:427, Matern32:447, Matern52:546,
+ExpQuad:613, Cosine:654, RatQuad:665) and ``rbf.py:12``.
+
+TPU notes:
+- the pairwise distance uses the -2*X@X2^T + |X|^2 + |X2|^2 trick (GPy
+  stationary.py:155-173) so the O(N^2 D) work is a single MXU matmul; elementwise
+  K_of_r fuses into the matmul output under XLA. A fused Pallas tile kernel is
+  available for the hot families (ops/pallas_kernels.py) behind config.use_pallas.
+- gradients come from autodiff; the reference's hand-written OpenMP loops
+  (stationary_utils.c _grad_X / _lengthscale_grads) are mathematically plain
+  contractions which XLA emits as matmuls.
+- sqrt at zero distance is made autodiff-safe with a where-guard so dK/dX is exact
+  (0) at coincident points.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree_dataclass, static_field
+from .base import Kernel
+
+
+def sq_dist(X, X2=None):
+    """Pairwise squared Euclidean distance, clipped at 0 (GPy _unscaled_dist:155)."""
+    if X2 is None:
+        Xsq = jnp.sum(jnp.square(X), axis=-1)
+        r2 = -2.0 * (X @ X.T) + Xsq[:, None] + Xsq[None, :]
+        r2 = jnp.maximum(r2, 0.0)
+        # exact zeros on the diagonal (GPy sets them explicitly)
+        n = X.shape[0]
+        r2 = r2 * (1.0 - jnp.eye(n, dtype=X.dtype))
+        return r2
+    X1sq = jnp.sum(jnp.square(X), axis=-1)
+    X2sq = jnp.sum(jnp.square(X2), axis=-1)
+    r2 = -2.0 * (X @ X2.T) + X1sq[:, None] + X2sq[None, :]
+    return jnp.maximum(r2, 0.0)
+
+
+def safe_sqrt(r2):
+    """sqrt with zero (not NaN) gradient at r2 == 0."""
+    zero = r2 == 0.0
+    safe = jnp.where(zero, 1.0, r2)
+    return jnp.where(zero, 0.0, jnp.sqrt(safe))
+
+
+@pytree_dataclass
+class Stationary(Kernel):
+    variance: jnp.ndarray = None
+    lengthscale: jnp.ndarray = None
+
+    @classmethod
+    def create(
+        cls,
+        input_dim,
+        variance=1.0,
+        lengthscale=None,
+        ARD=False,
+        active_dims=None,
+        **extra,
+    ):
+        """GPy-style constructor (stationary.py:61-83): non-ARD gets a scalar
+        lengthscale; ARD broadcasts to one lengthscale per input dim."""
+        if lengthscale is None:
+            lengthscale = jnp.ones((input_dim,)) if ARD else jnp.ones(())
+        else:
+            lengthscale = jnp.asarray(lengthscale, dtype=float)
+            if ARD:
+                lengthscale = jnp.broadcast_to(lengthscale, (input_dim,))
+            else:
+                lengthscale = lengthscale.reshape(())
+        return cls(
+            input_dim=input_dim,
+            active_dims=tuple(active_dims) if active_dims is not None else None,
+            variance=jnp.asarray(variance, dtype=float).reshape(()),
+            lengthscale=lengthscale,
+            **extra,
+        )
+
+    # --- the subclass contract (GPy stationary.py:92-97) ---
+    def K_of_r(self, r):
+        raise NotImplementedError
+
+    def dK_dr(self, r):
+        import jax
+
+        return jax.grad(lambda rr: jnp.sum(self.K_of_r(rr)))(r)
+
+    # --- distances ---
+    def _scaled_dist(self, X, X2=None):
+        """r scaled by lengthscale; ARD divides per-dim first (GPy :176-190)."""
+        if self.lengthscale.ndim > 0 and self.lengthscale.shape[-1] > 1:
+            Xs = X / self.lengthscale
+            X2s = None if X2 is None else X2 / self.lengthscale
+            return safe_sqrt(sq_dist(Xs, X2s))
+        return safe_sqrt(sq_dist(X, X2)) / self.lengthscale
+
+    def K(self, X, X2=None):
+        X = self._slice(X)
+        X2 = self._slice(X2)
+        from ..config import pallas_enabled
+        from ..ops import pallas_kernels
+
+        if pallas_enabled() and pallas_kernels.supports(self, X, X2):
+            return pallas_kernels.stationary_K(self, X, X2)
+        r = self._scaled_dist(X, X2)
+        return self.K_of_r(r)
+
+    def Kdiag(self, X):
+        X = self._slice(X)
+        return jnp.full((X.shape[0],), 1.0, dtype=X.dtype) * self.variance
+
+
+@pytree_dataclass
+class RBF(Stationary):
+    """sigma^2 exp(-r^2/2) (GPy rbf.py:51)."""
+
+    _family = "rbf"
+
+    def K_of_r(self, r):
+        return self.variance * jnp.exp(-0.5 * jnp.square(r))
+
+    def dK_dr(self, r):
+        return -r * self.K_of_r(r)
+
+
+# GPy aliases RBF as ExpQuad (stationary.py:613 defines it identically).
+ExpQuad = RBF
+
+
+@pytree_dataclass
+class Exponential(Stationary):
+    """sigma^2 exp(-r/2)  — note GPy's Exponential (stationary.py:384) uses r/2."""
+
+    _family = "exponential"
+
+    def K_of_r(self, r):
+        return self.variance * jnp.exp(-0.5 * r)
+
+
+@pytree_dataclass
+class OU(Stationary):
+    """Ornstein-Uhlenbeck / Matern-1/2: sigma^2 exp(-r) (GPy stationary.py:427)."""
+
+    _family = "ou"
+
+    def K_of_r(self, r):
+        return self.variance * jnp.exp(-r)
+
+
+@pytree_dataclass
+class Matern32(Stationary):
+    """sigma^2 (1 + sqrt(3) r) exp(-sqrt(3) r) (GPy stationary.py:447)."""
+
+    _family = "matern32"
+
+    def K_of_r(self, r):
+        s3r = jnp.sqrt(3.0) * r
+        return self.variance * (1.0 + s3r) * jnp.exp(-s3r)
+
+    def dK_dr(self, r):
+        return -3.0 * self.variance * r * jnp.exp(-jnp.sqrt(3.0) * r)
+
+
+@pytree_dataclass
+class Matern52(Stationary):
+    """sigma^2 (1 + sqrt(5) r + 5/3 r^2) exp(-sqrt(5) r) (GPy stationary.py:575)."""
+
+    _family = "matern52"
+
+    def K_of_r(self, r):
+        s5r = jnp.sqrt(5.0) * r
+        return self.variance * (1.0 + s5r + 5.0 / 3.0 * jnp.square(r)) * jnp.exp(-s5r)
+
+
+@pytree_dataclass
+class Cosine(Stationary):
+    """sigma^2 cos(r) (GPy stationary.py:654)."""
+
+    _family = "cosine"
+
+    def K_of_r(self, r):
+        return self.variance * jnp.cos(r)
+
+
+@pytree_dataclass
+class Sinc(Stationary):
+    """sigma^2 sinc(2r) — band-limited kernel (GPy stationary.py Sinc)."""
+
+    _family = "sinc"
+
+    def K_of_r(self, r):
+        return self.variance * jnp.sinc(2.0 * r / jnp.pi)
+
+
+@pytree_dataclass
+class RatQuad(Stationary):
+    """Rational quadratic: sigma^2 (1 + r^2/2)^-power (GPy stationary.py:665)."""
+
+    power: jnp.ndarray = None
+    _family = "ratquad"
+
+    @classmethod
+    def create(cls, input_dim, variance=1.0, lengthscale=None, power=2.0, ARD=False, active_dims=None):
+        return super().create(
+            input_dim,
+            variance,
+            lengthscale,
+            ARD,
+            active_dims,
+            power=jnp.asarray(power, dtype=float).reshape(()),
+        )
+
+    def K_of_r(self, r):
+        r2 = jnp.square(r)
+        # GPy computes via exp(-power * log1p(r2/2)) for stability
+        return self.variance * jnp.exp(-self.power * jnp.log1p(r2 / 2.0))
