@@ -1,0 +1,116 @@
+"""Hyperparameter fitting: multi-restart L-BFGS on the (negative) log marginal
+likelihood.
+
+Rebuild of the paramz optimize/optimize_restarts harness as used by the reference
+(GPy core/gp.py:643 -> paramz Model.optimize -> scipy lbfgsb; GPyOpt gpmodel.py:88-93
+runs optimize_restarts(5, 'bfgs', max_iters=1000)). Differences, TPU-first:
+
+- the objective is -(LML + log prior) with gradients by autodiff through the whole
+  inference (kernel build, jitter-ladder Cholesky, solves) — replacing the hand-written
+  dL_dK / dL_dtheta plumbing;
+- restarts run as ONE vmapped L-BFGS program on device (the reference loops restarts
+  serially in Python, each step doing an O(N^3) CPU factorization);
+- restart initialization: restart 0 starts from the current parameters, others draw
+  N(0,1) in unconstrained space (paramz `randomize()` equivalent).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lbfgs
+from ..utils.priors import Prior
+from .parameters import _leaf_names, make_packer
+
+
+def make_objective(packer, priors: dict[str, Prior] | None = None,
+                   extra_loss=None):
+    """Returns obj(u, model) = -(LML(model with packed params u) + log prior).
+
+    `priors`: field-name -> Prior, applied on constrained values (GPy
+    core/model.py:101-127 objective = -logL - logPrior).
+    """
+    def obj(u, model):
+        m = packer.unpack(u, reference=model)
+        total = m.log_marginal_likelihood()
+        if priors:
+            leaf_names = _leaf_names(m)
+            leaves = jax.tree_util.tree_leaves(m)
+            for nm, leaf in zip(leaf_names, leaves):
+                pr = priors.get(nm)
+                if pr is not None:
+                    total = total + jnp.sum(pr.lnpdf(jnp.asarray(leaf)))
+        if extra_loss is not None:
+            total = total - extra_loss(m)
+        return -total
+
+    return obj
+
+
+class Fitter:
+    """Reusable jitted fit program for one model structure.
+
+    Build once, call many times (the BO loop refits every iteration on same-shaped
+    padded buffers, so the compiled program is reused).
+    """
+
+    def __init__(
+        self,
+        template_model: Any,
+        num_restarts: int = 5,
+        maxiter: int = 1000,
+        fix: tuple = (),
+        transform_overrides: dict | None = None,
+        priors: dict[str, Prior] | None = None,
+        tol: float = 1e-5,
+        history: int = 10,
+        jit: bool = True,
+    ):
+        self.packer = make_packer(
+            template_model, fix=fix, transform_overrides=transform_overrides
+        )
+        self.num_restarts = num_restarts
+        self.maxiter = maxiter
+        obj = make_objective(self.packer, priors=priors)
+        packer = self.packer
+
+        def run(model, key):
+            u0 = packer.pack(model)
+            n = u0.shape[0]
+            if num_restarts > 1:
+                rand = jax.random.normal(key, (num_restarts - 1, n), dtype=u0.dtype)
+                starts = jnp.concatenate([u0[None], rand])
+            else:
+                starts = u0[None]
+
+            def solve(u):
+                return lbfgs.minimize(
+                    lambda uu: obj(uu, model), u, maxiter=maxiter, tol=tol,
+                    history=history,
+                )
+
+            res = jax.vmap(solve)(starts)
+            f = jnp.where(jnp.isfinite(res.f), res.f, jnp.inf)
+            best = jnp.argmin(f)
+            fitted = packer.unpack(res.x[best], reference=model)
+            return fitted, res
+
+        self._run = jax.jit(run) if jit else run
+
+    def __call__(self, model, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return self._run(model, key)
+
+
+def fit(model, num_restarts: int = 5, maxiter: int = 1000, key=None,
+        fix: tuple = (), transform_overrides: dict | None = None,
+        priors: dict[str, Prior] | None = None, jit: bool = True, **kw):
+    """One-shot convenience wrapper (GPy `m.optimize_restarts(...)`)."""
+    fitter = Fitter(
+        model, num_restarts=num_restarts, maxiter=maxiter, fix=fix,
+        transform_overrides=transform_overrides, priors=priors, jit=jit, **kw
+    )
+    return fitter(model, key)

@@ -1,0 +1,253 @@
+"""Exact GP regression — the centerpiece.
+
+TPU-native rebuild of GPy's exact inference and posterior algebra:
+- ``GPy/GPy/inference/latent_function_inference/exact_gaussian_inference.py:37``:
+  Ky = K + (sigma^2 + 1e-8) I;  L = jitchol(Ky);  alpha = Ky^-1 Yc;
+  logL = 0.5(-ND log 2pi - D logdet - sum(alpha*Yc)).
+- ``GPy/GPy/inference/latent_function_inference/posterior.py:274`` (PosteriorExact):
+  mu* = Kx^T alpha;  tmp = L^-1 Kx;  var* = Kdiag(X*) - sum(tmp^2) (or full cov).
+- ``GPy/GPy/core/gp.py``: predict:297 (latent -> +noise -> un-normalize),
+  predictive_gradients:407, posterior_samples:611.
+- ``GPy/GPy/models/gp_regression.py:9``: GPRegression = GP + Gaussian likelihood +
+  default RBF kernel.
+
+Design differences (TPU-first):
+- the model is an immutable pytree; ``jax.grad`` of :func:`log_marginal_likelihood`
+  replaces the hand-plumbed dL_dK -> update_gradients_full machinery (and its
+  OpenMP/Cython hot loops).
+- optional fixed-size padding with a row mask: padded rows are replaced by identity
+  rows in the Gram matrix, so BO loops (where N grows by 1 each iteration) reuse one
+  compiled program per bucket size instead of recompiling every step (SURVEY §7
+  "Dynamic shapes").
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from ..kernels.base import Kernel
+from ..kernels.stationary import RBF
+from ..ops import linalg
+from ..utils.normalizer import Standardize
+from ..utils.pytree import pytree_dataclass, replace
+from .mean_functions import Mapping
+
+LOG_2_PI = float(jnp.log(2.0 * jnp.pi))
+
+
+@pytree_dataclass
+class Posterior:
+    """Woodbury representation of the exact posterior (GPy posterior.py:9)."""
+
+    L: jnp.ndarray = None  # lower Cholesky of Ky (woodbury_chol)
+    alpha: jnp.ndarray = None  # Ky^-1 (Y - m)      (woodbury_vector)
+    jitter: jnp.ndarray = None
+    ok: jnp.ndarray = None
+    lml: jnp.ndarray = None
+
+
+@pytree_dataclass
+class GPRegression:
+    """Exact GP regression with Gaussian likelihood.
+
+    Fields `X (N,D)`, `Y (N,P)` may be padded to a fixed budget; `mask (N,)` flags
+    real rows (None = all real). `Y` is stored raw; if `normalizer` is set the
+    standardization is applied inside inference and inverted at predict
+    (GPy util/normalizer.py Standardize).
+    """
+
+    kern: Kernel = None
+    likelihood_variance: jnp.ndarray = None
+    X: jnp.ndarray = None
+    Y: jnp.ndarray = None
+    mask: jnp.ndarray = None
+    mean_function: Mapping = None
+    normalizer: Standardize = None
+
+    # ------------------------------------------------------------------ factory
+    @classmethod
+    def create(
+        cls,
+        X,
+        Y,
+        kernel: Kernel | None = None,
+        noise_var: float = 1.0,
+        normalizer: bool = False,
+        mean_function: Mapping | None = None,
+        max_points: int | None = None,
+    ):
+        X = jnp.atleast_2d(jnp.asarray(X, dtype=float))
+        Y = jnp.asarray(Y, dtype=float)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        n, d = X.shape
+        if kernel is None:
+            kernel = RBF.create(d)  # GPy GPRegression default (gp_regression.py:30)
+        norm = Standardize.fit(Y) if normalizer else None
+        mask = None
+        if max_points is not None and max_points > n:
+            pad = max_points - n
+            X = jnp.concatenate([X, jnp.zeros((pad, d), X.dtype)])
+            Y = jnp.concatenate([Y, jnp.zeros((pad, Y.shape[1]), Y.dtype)])
+            mask = (jnp.arange(max_points) < n).astype(X.dtype)
+        return cls(
+            kern=kernel,
+            likelihood_variance=jnp.asarray(noise_var, dtype=float).reshape(()),
+            X=X,
+            Y=Y,
+            mask=mask,
+            mean_function=mean_function,
+            normalizer=norm,
+        )
+
+    def with_data(self, X, Y, max_points: int | None = None):
+        """set_XY equivalent (GPy gp.py set_XY); refits the normalizer like GPy does."""
+        norm = self.normalizer is not None
+        return GPRegression.create(
+            X,
+            Y,
+            kernel=self.kern,
+            noise_var=self.likelihood_variance,
+            normalizer=norm,
+            mean_function=self.mean_function,
+            max_points=max_points,
+        )
+
+    # ------------------------------------------------------------------ internals
+    @property
+    def num_data(self):
+        if self.mask is None:
+            return self.X.shape[0]
+        return jnp.sum(self.mask)
+
+    def _normalized_Y(self):
+        Yn = self.normalizer.normalize(self.Y) if self.normalizer is not None else self.Y
+        if self.mean_function is not None:
+            Yn = Yn - self.mean_function.f(self.X)
+        if self.mask is not None:
+            Yn = Yn * self.mask[:, None]
+        return Yn
+
+    def inference(self) -> Posterior:
+        """Exact Gaussian inference (exact_gaussian_inference.py:37-75)."""
+        Yc = self._normalized_Y()
+        K = self.kern.K(self.X)
+        n = self.X.shape[0]
+        Ky = K + (self.likelihood_variance + config.noise_jitter) * jnp.eye(n, dtype=K.dtype)
+        Ky = linalg.masked_gram(Ky, self.mask)
+        L, jitter, ok = linalg.jitchol(Ky)
+        alpha = linalg.cho_solve(L, Yc)
+        logdet = linalg.logdet_from_chol(L)
+        p = Yc.shape[1]
+        n_real = self.num_data
+        lml = 0.5 * (
+            -n_real * p * LOG_2_PI - p * logdet - jnp.sum(alpha * Yc)
+        )
+        return Posterior(L=L, alpha=alpha, jitter=jitter, ok=ok, lml=lml)
+
+    def log_marginal_likelihood(self) -> jnp.ndarray:
+        return self.inference().lml
+
+    # ------------------------------------------------------------------ prediction
+    def _raw_predict(self, Xnew, full_cov=False, posterior: Posterior | None = None):
+        """Latent predictive (normalized space), PosteriorExact._raw_predict:274."""
+        post = posterior if posterior is not None else self.inference()
+        Xnew = jnp.atleast_2d(Xnew)
+        Kx = self.kern.K(self.X, Xnew)
+        if self.mask is not None:
+            Kx = Kx * self.mask[:, None]
+        mu = Kx.T @ post.alpha
+        if self.mean_function is not None:
+            mu = mu + self.mean_function.f(Xnew)
+        tmp = linalg.solve_lower(post.L, Kx)
+        if full_cov:
+            var = self.kern.K(Xnew) - tmp.T @ tmp
+            var = linalg.symmetrify(var)
+        else:
+            var = self.kern.Kdiag(Xnew) - jnp.sum(jnp.square(tmp), axis=0)
+            var = jnp.clip(var, 1e-15, None)[:, None]  # GPy posterior.py floor
+        return mu, var
+
+    def predict(self, Xnew, full_cov=False, include_likelihood=True,
+                posterior: Posterior | None = None):
+        """Predict in original Y units; adds Gaussian noise if include_likelihood
+        (GPy gp.py:297 + likelihoods/gaussian.py:102)."""
+        mu, var = self._raw_predict(Xnew, full_cov=full_cov, posterior=posterior)
+        if include_likelihood:
+            if full_cov:
+                var = var + self.likelihood_variance * jnp.eye(var.shape[0], dtype=var.dtype)
+            else:
+                var = var + self.likelihood_variance
+        if self.normalizer is not None:
+            mu = self.normalizer.inverse_mean(mu)
+            if full_cov:
+                var = self.normalizer.inverse_covariance(var)
+            else:
+                var = self.normalizer.inverse_variance(var)
+        return mu, var
+
+    def predict_noiseless(self, Xnew, full_cov=False):
+        return self.predict(Xnew, full_cov=full_cov, include_likelihood=False)
+
+    def predictive_gradients(self, Xnew, posterior: Posterior | None = None):
+        """(dmu/dXnew (M,D,P), dvar/dXnew (M,D)) — GPy gp.py:407. Computed by
+        forward-mode autodiff per test point (vmapped), replacing kern.gradients_X."""
+        post = posterior if posterior is not None else self.inference()
+
+        def mu_var(x):
+            mu, var = self._raw_predict(x[None, :], full_cov=False, posterior=post)
+            if self.normalizer is not None:
+                mu = self.normalizer.inverse_mean(mu)
+                var = self.normalizer.inverse_variance(var)
+            return mu[0], var[0, 0]
+
+        def dmu(x):
+            return jax.jacfwd(lambda xx: mu_var(xx)[0])(x)  # (P, D)
+
+        def dvar(x):
+            return jax.jacfwd(lambda xx: mu_var(xx)[1])(x)  # (D,)
+
+        Xnew = jnp.atleast_2d(Xnew)
+        dm = jax.vmap(dmu)(Xnew)  # (M, P, D)
+        dv = jax.vmap(dvar)(Xnew)  # (M, D)
+        return jnp.swapaxes(dm, 1, 2), dv
+
+    def posterior_samples_f(self, Xnew, size, key):
+        """Samples of the latent function (GPy gp.py posterior_samples_f:585)."""
+        mu, cov = self._raw_predict(Xnew, full_cov=True)
+        m = Xnew.shape[0]
+        cov = cov + 1e-10 * jnp.eye(m, dtype=cov.dtype)
+        Lc, _, _ = linalg.jitchol(cov)
+        z = jax.random.normal(key, (m, size), dtype=cov.dtype)
+        samples = mu + Lc @ z  # broadcasting over output dim P=1
+        if self.normalizer is not None:
+            samples = self.normalizer.inverse_mean(samples)
+        return samples
+
+    def posterior_samples(self, Xnew, size, key):
+        """Samples of noisy observations (GPy gp.py posterior_samples:611)."""
+        key_f, key_n = jax.random.split(key)
+        f = self.posterior_samples_f(Xnew, size, key_f)
+        noise_std = jnp.sqrt(self.likelihood_variance)
+        if self.normalizer is not None:
+            noise_std = noise_std * self.normalizer.std.reshape(-1)[0]
+        return f + noise_std * jax.random.normal(key_n, f.shape, dtype=f.dtype)
+
+    def log_likelihood_LOO(self):
+        """Leave-one-out predictive density (exact_gaussian_inference.py LOO:77)."""
+        post = self.inference()
+        Yc = self._normalized_Y()
+        n = self.X.shape[0]
+        Ki = linalg.dpotri(post.L)
+        diag_Ki = jnp.diagonal(Ki)
+        mu_loo = Yc - post.alpha / diag_Ki[:, None]
+        var_loo = 1.0 / diag_Ki
+        lpd = -0.5 * (
+            jnp.log(2 * jnp.pi)
+            + jnp.log(var_loo)[:, None]
+            + jnp.square(Yc - mu_loo) / var_loo[:, None]
+        )
+        if self.mask is not None:
+            lpd = lpd * self.mask[:, None]
+        return lpd

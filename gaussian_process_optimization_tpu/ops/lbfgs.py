@@ -1,0 +1,171 @@
+"""Jitted L-BFGS with optional box constraints.
+
+Replaces scipy ``fmin_l_bfgs_b`` in both reference roles:
+- hyperparameter fitting (paramz Model.optimize -> scipy lbfgsb, SURVEY call stack 3.4),
+- acquisition multi-start maximization (GPyOpt optimization/optimizer.py OptLbfgs:28).
+
+Written as a pure ``lax.while_loop`` program so it jits once and ``vmap``s across
+restarts/anchor points — the multi-start loops that are serial Python in the reference
+become one batched TPU program. Line search is backtracking-Armijo (NaN-robust: a
+non-finite trial objective just shrinks the step, which subsumes GPy's LinAlgError
+handling and GPyOpt's ABNORMAL_TERMINATION-returns-x0 fallback, optimizer.py:54-56).
+Box constraints are handled by gradient projection (iterates projected onto the box,
+convergence measured on the projected gradient), matching L-BFGS-B behavior closely
+enough for regret parity (SURVEY §7 "L-BFGS parity").
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class LBFGSResult(NamedTuple):
+    x: jnp.ndarray
+    f: jnp.ndarray
+    num_iters: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _project(x, lower, upper):
+    if lower is not None:
+        x = jnp.maximum(x, lower)
+    if upper is not None:
+        x = jnp.minimum(x, upper)
+    return x
+
+
+def _minimize(fun, x0, lower, upper, maxiter, history, tol,
+              max_ls=25, has_bounds=False):
+    n = x0.shape[0]
+    m = history
+    dtype = x0.dtype
+
+    vg = jax.value_and_grad(fun)
+
+    def proj(x):
+        return _project(x, lower, upper) if has_bounds else x
+
+    def proj_grad(x, g):
+        if not has_bounds:
+            return g
+        return x - _project(x - g, lower, upper)
+
+    x0 = proj(x0)
+    f0, g0 = vg(x0)
+
+    init_state = (
+        jnp.int32(0),  # k
+        x0, f0, g0,
+        jnp.zeros((m, n), dtype),  # S
+        jnp.zeros((m, n), dtype),  # Ys
+        jnp.zeros((m,), dtype),    # rho
+        jnp.asarray(1.0, dtype),   # gamma
+        x0, f0,                    # best seen
+        jnp.asarray(False),        # converged
+    )
+
+    def two_loop(k, g, S, Ys, rho, gamma):
+        def bwd(i, carry):
+            q, a = carry
+            idx = jnp.mod(k - 1 - i, m)
+            valid = (i < jnp.minimum(k, m)) & (rho[idx] > 0)
+            ai = jnp.where(valid, rho[idx] * jnp.dot(S[idx], q), 0.0)
+            q = q - ai * Ys[idx]
+            a = a.at[idx].set(ai)
+            return q, a
+
+        q, a = lax.fori_loop(0, m, bwd, (g, jnp.zeros((m,), dtype)))
+        q = q * gamma
+
+        def fwd(i, q):
+            # iterate oldest -> newest over the valid window
+            idx2 = jnp.mod(k - m + i, m)
+            valid2 = (i >= m - jnp.minimum(k, m)) & (rho[idx2] > 0)
+            b = jnp.where(valid2, rho[idx2] * jnp.dot(Ys[idx2], q), 0.0)
+            q = q + jnp.where(valid2, (a[idx2] - b), 0.0) * S[idx2]
+            return q
+
+        q = lax.fori_loop(0, m, fwd, q)
+        return -q
+
+    c1 = 1e-4
+
+    def line_search(x, f, g, d):
+        gtd = jnp.dot(g, d)
+
+        def body(state):
+            t, _, _, _, it = state
+            x_new = proj(x + t * d)
+            f_new = vg(x_new)[0]
+            ok = jnp.isfinite(f_new) & (f_new <= f + c1 * jnp.dot(g, x_new - x))
+            return (t * 0.5, x_new, f_new, ok, it + 1)
+
+        def cond(state):
+            _, _, _, ok, it = state
+            return (~ok) & (it < max_ls)
+
+        t0 = jnp.asarray(1.0, dtype)
+        init = body((t0, x, f, jnp.asarray(False), jnp.int32(-1)))
+        _, x_new, f_new, ok, _ = lax.while_loop(cond, body, init)
+        return x_new, f_new, ok, gtd
+
+    def cond(state):
+        k, _, _, _, _, _, _, _, _, _, converged = state
+        return (~converged) & (k < maxiter)
+
+    def body(state):
+        k, x, f, g, S, Ys, rho, gamma, xb, fb, _ = state
+        d = two_loop(k, g, S, Ys, rho, gamma)
+        # safeguard: if d is not a descent direction, fall back to steepest descent
+        descent = jnp.dot(g, d) < 0
+        d = jnp.where(descent, d, -g)
+        x_new, f_new, ls_ok, _ = line_search(x, f, g, d)
+        g_new = vg(x_new)[1]
+
+        s = x_new - x
+        y = g_new - g
+        sy = jnp.dot(s, y)
+        good_pair = sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(y)
+        slot = jnp.mod(k, m)
+        S = S.at[slot].set(jnp.where(good_pair, s, S[slot] * 0.0))
+        Ys = Ys.at[slot].set(jnp.where(good_pair, y, Ys[slot] * 0.0))
+        rho = rho.at[slot].set(jnp.where(good_pair, 1.0 / sy, 0.0))
+        gamma = jnp.where(good_pair, sy / jnp.dot(y, y), gamma)
+
+        better = f_new < fb
+        xb = jnp.where(better, x_new, xb)
+        fb = jnp.where(better, f_new, fb)
+
+        pg = proj_grad(x_new, g_new)
+        small_grad = jnp.max(jnp.abs(pg)) < tol
+        converged = small_grad | (~ls_ok)
+        return (k + 1, x_new, f_new, g_new, S, Ys, rho, gamma, xb, fb, converged)
+
+    final = lax.while_loop(cond, body, init_state)
+    k, _, _, _, _, _, _, _, xb, fb, converged = final
+
+    # If even the initial point is non-finite, return x0 (GPyOpt optimizer.py:54-56).
+    bad_start = ~jnp.isfinite(f0)
+    xb = jnp.where(bad_start, x0, xb)
+    fb = jnp.where(bad_start, f0, fb)
+    return LBFGSResult(x=xb, f=fb, num_iters=k, converged=converged)
+
+
+def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5,
+             max_ls=25):
+    """Minimize `fun(x) -> scalar` from x0 (1-D array). Returns LBFGSResult.
+
+    `lower`/`upper` (optional, broadcastable to x0) activate box projection.
+    jit-compatible; vmap over x0 for multi-start.
+    """
+    x0 = jnp.asarray(x0)
+    has_bounds = lower is not None or upper is not None
+    lo = None if lower is None else jnp.broadcast_to(jnp.asarray(lower, x0.dtype), x0.shape)
+    hi = None if upper is None else jnp.broadcast_to(jnp.asarray(upper, x0.dtype), x0.shape)
+    return _minimize(
+        fun, x0, lo, hi, maxiter, history, jnp.asarray(tol, x0.dtype),
+        max_ls=max_ls, has_bounds=has_bounds,
+    )

@@ -29,18 +29,14 @@ def symmetrify(A: jnp.ndarray, upper: bool = False) -> jnp.ndarray:
     return t + jnp.tril(A, -1).T
 
 
-def jitchol(A: jnp.ndarray, maxtries: int | None = None):
-    """Cholesky with a progressive jitter ladder, matching GPy jitchol semantics
-    (util/linalg.py:56-74): try plain Cholesky; on failure add ``mean(diag)*1e-6`` to
-    the diagonal, multiplying by 10 each retry, up to `maxtries` retries.
+def _phi(X):
+    """Lower triangle with halved diagonal — the Phi operator of the Cholesky pullback
+    (Murray 2016; the reference implements this loop in Cython,
+    GPy/GPy/util/choleskies_cython.pyx:48-80 `backprop_gradient`)."""
+    return jnp.tril(X) - 0.5 * jnp.diag(jnp.diagonal(X))
 
-    Branch-by-``lax.while_loop`` (not exceptions): XLA's Cholesky returns NaNs for
-    non-PD inputs, so failure detection is a finite-ness check. Returns
-    ``(L, jitter_used, ok)``; `ok` is False if even the largest jitter failed.
-    """
-    if maxtries is None:
-        maxtries = config.jitchol_maxtries
-    A = jnp.asarray(A)
+
+def _jitchol_loop(A, maxtries):
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
     diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
@@ -69,6 +65,63 @@ def jitchol(A: jnp.ndarray, maxtries: int | None = None):
 
     _, L, jitter, ok = lax.while_loop(cond, body, (jnp.int32(0), L0, j0, ok0))
     return L, jitter, ok
+
+
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.custom_vjp, nondiff_argnums=(1,))
+def _jitchol_core(A, maxtries):
+    return _jitchol_loop(A, maxtries)
+
+
+def _jitchol_fwd(A, maxtries):
+    out = _jitchol_loop(A, maxtries)
+    return out, out[0]
+
+
+def _jitchol_bwd(maxtries, L, cts):
+    """Cholesky pullback: A_bar = 0.5 (S + S^T), S = L^-T Phi(L^T L_bar) L^-1.
+
+    This is the TPU-native `backprop_gradient` (reference choleskies_cython.pyx:48):
+    the sequential Cython loop becomes two triangular solves on the MXU. The jitter
+    choice is treated as a constant (the reference never differentiates it either).
+    """
+    L_bar = cts[0]
+    W = _phi(L.T @ L_bar)
+    tmp = lax.linalg.triangular_solve(L, W, left_side=True, lower=True, transpose_a=True)
+    S = lax.linalg.triangular_solve(
+        L, tmp.T, left_side=True, lower=True, transpose_a=True
+    ).T
+    A_bar = 0.5 * (S + S.T)
+    return (A_bar,)
+
+
+_jitchol_core.defvjp(_jitchol_fwd, _jitchol_bwd)
+
+# Module-level jit so eager callers hit the compile cache (a bare lax.while_loop with
+# fresh closures re-traces on every eager call). Inlined when called under an outer jit.
+_jitchol_jit = _jax.jit(_jitchol_core, static_argnums=(1,))
+
+
+def jitchol(A: jnp.ndarray, maxtries: int | None = None):
+    """Cholesky with a progressive jitter ladder, matching GPy jitchol semantics
+    (util/linalg.py:56-74): try plain Cholesky; on failure add ``mean(diag)*1e-6`` to
+    the diagonal, multiplying by 10 each retry, up to `maxtries` retries.
+
+    Branch-by-``lax.while_loop`` (not exceptions): XLA's Cholesky returns NaNs for
+    non-PD inputs, so failure detection is a finite-ness check. Returns
+    ``(L, jitter_used, ok)``; `ok` is False if even the largest jitter failed.
+
+    Reverse-mode differentiable via a custom VJP (the while_loop itself is not):
+    backward is the standard Cholesky pullback, with the selected jitter held
+    constant.
+    """
+    if maxtries is None:
+        maxtries = config.jitchol_maxtries
+    return _jitchol_jit(jnp.asarray(A), int(maxtries))
 
 
 def solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:

@@ -62,17 +62,28 @@ class Packer:
             return jnp.zeros((0,), dtype=self._dtype)
         return jnp.concatenate(parts)
 
-    def unpack(self, u: jnp.ndarray) -> Any:
+    def unpack(self, u: jnp.ndarray, reference: Any = None) -> Any:
+        """Reconstruct the constrained pytree from `u`.
+
+        Fixed leaves are taken from `reference` (same structure) when given, else from
+        the template captured at construction. Passing the live model as `reference`
+        inside a jitted function keeps data leaves (X, Y, ...) traced instead of baked
+        in as constants.
+        """
+        if reference is None:
+            ref_leaves = self._template_leaves
+        else:
+            ref_leaves = jax.tree_util.tree_leaves(reference)
         out = []
         idx = 0
-        for tmpl, shape, size, t, fx in zip(
-            self._template_leaves, self._shapes, self._sizes, self._transforms, self._fixed
+        for ref, shape, size, t, fx in zip(
+            ref_leaves, self._shapes, self._sizes, self._transforms, self._fixed
         ):
             if fx:
-                out.append(tmpl)
+                out.append(ref)
             else:
                 seg = jax.lax.dynamic_slice_in_dim(u, idx, size, axis=0)
-                out.append(t.forward(seg.reshape(shape).astype(tmpl.dtype)))
+                out.append(t.forward(seg.reshape(shape).astype(jnp.asarray(ref).dtype)))
                 idx += size
         return jax.tree_util.tree_unflatten(self._treedef, out)
 

@@ -1,0 +1,63 @@
+"""L-BFGS unit tests: convergence on standard problems, box constraints, vmap,
+NaN-robustness (the reference relies on scipy fmin_l_bfgs_b; parity is statistical,
+SURVEY §7 'L-BFGS parity')."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_process_optimization_tpu.ops import lbfgs
+
+
+def rosenbrock(x):
+    return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+
+def test_rosenbrock():
+    x0 = jnp.zeros(4)
+    res = lbfgs.minimize(rosenbrock, x0, maxiter=500)
+    np.testing.assert_allclose(np.asarray(res.x), np.ones(4), atol=1e-5)
+    assert float(res.f) < 1e-10
+
+
+def test_quadratic_exact():
+    A = jnp.asarray(np.diag([1.0, 10.0, 100.0]))
+    b = jnp.asarray([1.0, -2.0, 3.0])
+    f = lambda x: 0.5 * x @ A @ x - b @ x
+    res = lbfgs.minimize(f, jnp.zeros(3), maxiter=200)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(np.asarray(A), b), atol=1e-6)
+
+
+def test_box_constrained():
+    # minimum of (x-2)^2 over [0,1] is at x=1
+    f = lambda x: jnp.sum((x - 2.0) ** 2)
+    res = lbfgs.minimize(f, jnp.asarray([0.5]), lower=jnp.asarray([0.0]),
+                         upper=jnp.asarray([1.0]), maxiter=100)
+    np.testing.assert_allclose(np.asarray(res.x), [1.0], atol=1e-8)
+
+
+def test_vmap_multistart():
+    f = lambda x: jnp.sum((x - 3.0) ** 2) * 0.5
+    starts = jnp.asarray(np.random.default_rng(0).standard_normal((6, 2)))
+    res = jax.vmap(lambda x0: lbfgs.minimize(f, x0, maxiter=100))(starts)
+    np.testing.assert_allclose(np.asarray(res.x), 3.0 * np.ones((6, 2)), atol=1e-6)
+
+
+def test_nan_objective_returns_start():
+    f = lambda x: jnp.where(jnp.sum(x) > -1e9, jnp.nan, 0.0)  # always NaN
+    x0 = jnp.asarray([1.0, 2.0])
+    res = lbfgs.minimize(f, x0, maxiter=50)
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 2.0])
+
+
+def test_nan_region_avoided():
+    # objective NaN for x<0; optimum at boundary-ish; line search must back off
+    f = lambda x: jnp.where(jnp.all(x > 0), jnp.sum((x - 0.5) ** 2) + jnp.sum(jnp.log(x)) * 0.0, jnp.nan)
+    res = lbfgs.minimize(f, jnp.asarray([2.0, 2.0]), maxiter=100)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=1e-6)
+
+
+def test_under_jit():
+    f = lambda x: jnp.sum((x + 1.0) ** 4)
+    run = jax.jit(lambda x0: lbfgs.minimize(f, x0, maxiter=200).x)
+    # quartic minimum: gradient vanishes cubically, so convergence is loose
+    np.testing.assert_allclose(np.asarray(run(jnp.asarray([2.0]))), [-1.0], atol=5e-2)
