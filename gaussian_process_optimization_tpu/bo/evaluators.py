@@ -1,0 +1,216 @@
+"""Batch evaluators (GPyOpt/GPyOpt/core/evaluators/: base.py:7 EvaluatorBase +
+SamplingBasedBatchEvaluator:21, sequential.py:7, batch_random.py:9,
+batch_local_penalization.py:9 (+ estimate_L:52), batch_thompson.py:10).
+
+TPU notes: the Lipschitz estimate (max |grad mu| over 500 uniform samples + train X,
+polished by L-BFGS) runs as one jitted vmapped program; the greedy LP loop stays a
+host loop of device argmax calls (k is small and each step re-optimizes a penalized
+acquisition — exactly the reference flow, batch_local_penalization.py:22-50).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lbfgs
+from .anchor_points import (
+    RandomAnchorPointsGenerator,
+    ThompsonSamplingAnchorPointsGenerator,
+)
+
+
+class EvaluatorBase:
+    """(base.py:7)"""
+
+    def __init__(self, acquisition, batch_size, **kwargs):
+        self.acquisition = acquisition
+        self.batch_size = batch_size
+
+    def compute_batch(self, duplicate_manager=None, context_manager=None):
+        raise NotImplementedError
+
+
+class Sequential(EvaluatorBase):
+    """Single argmax (sequential.py:7)."""
+
+    def __init__(self, acquisition, batch_size=1):
+        super().__init__(acquisition, batch_size)
+
+    def compute_batch(self, duplicate_manager=None, context_manager=None):
+        x, _ = self.acquisition.optimize(duplicate_manager=duplicate_manager)
+        return x
+
+
+class SamplingBasedBatchEvaluator(EvaluatorBase):
+    """(base.py:21): anchor-based batch w/ dedupe loop compute_batch:46."""
+
+    def __init__(self, acquisition, batch_size, **kwargs):
+        super().__init__(acquisition, batch_size)
+        self.space = acquisition.space
+        self.num_anchor = 5 * batch_size
+
+    def initialize_batch(self, duplicate_manager=None, context_manager=None):
+        raise NotImplementedError
+
+    def get_anchor_points(self, duplicate_manager=None, context_manager=None):
+        raise NotImplementedError
+
+    def optimize_anchor_point(self, a, duplicate_manager=None, context_manager=None):
+        raise NotImplementedError
+
+    def compute_batch_without_duplicate_logic(self, context_manager=None):
+        raise NotImplementedError
+
+    def zip_and_tuple(self, x):
+        return tuple(self.space.zip_inputs(np.atleast_2d(x)).flatten())
+
+    def compute_batch(self, duplicate_manager=None, context_manager=None):
+        self.context_manager = context_manager
+        if not duplicate_manager:
+            return self.compute_batch_without_duplicate_logic(context_manager=context_manager)
+
+        batch, already = [], duplicate_manager.unique_points.copy()
+        anchor_points = self.get_anchor_points(duplicate_manager, context_manager)
+        x0 = self.initialize_batch(duplicate_manager, context_manager)
+        if x0 is not None and np.any(x0):
+            batch.append(x0)
+            already.add(self.zip_and_tuple(x0))
+        for a in anchor_points:
+            x = self.optimize_anchor_point(a, duplicate_manager, context_manager)
+            zx = self.zip_and_tuple(x)
+            if zx not in already:
+                batch.append(x)
+                already.add(zx)
+            else:
+                za = self.zip_and_tuple(a)
+                if za not in already:
+                    batch.append(a)
+                    already.add(za)
+            if len(batch) == self.batch_size:
+                break
+        if len(batch) < self.batch_size:
+            print(
+                f"Warning: the batch of requested size {self.batch_size} could not be "
+                f"entirely filled in (only {len(batch)} points)"
+            )
+        return np.vstack([np.atleast_2d(b) for b in batch])
+
+
+class RandomBatch(SamplingBasedBatchEvaluator):
+    """First element by acquisition argmax, rest uniformly random (batch_random.py:9)."""
+
+    def initialize_batch(self, duplicate_manager=None, context_manager=None):
+        x, _ = self.acquisition.optimize(duplicate_manager=duplicate_manager)
+        return x
+
+    def get_anchor_points(self, duplicate_manager=None, context_manager=None):
+        gen = RandomAnchorPointsGenerator(self.space, "random")
+        return gen.get(num_anchor=self.num_anchor, duplicate_manager=duplicate_manager,
+                       unique=bool(duplicate_manager),
+                       context_manager=self.acquisition.optimizer.context_manager)
+
+    def optimize_anchor_point(self, a, duplicate_manager=None, context_manager=None):
+        return a
+
+    def compute_batch_without_duplicate_logic(self, context_manager=None):
+        x = self.initialize_batch()
+        anchors = self.get_anchor_points(context_manager=context_manager)
+        return np.vstack((x, anchors[: (self.batch_size - 1), :]))
+
+
+class ThompsonBatch(SamplingBasedBatchEvaluator):
+    """Elements chosen by optimizing the acquisition from Thompson-sampled anchors
+    (batch_thompson.py:10)."""
+
+    def __init__(self, acquisition, batch_size):
+        super().__init__(acquisition, batch_size)
+        self.model = acquisition.model
+
+    def initialize_batch(self, duplicate_manager=None, context_manager=None):
+        return None
+
+    def get_anchor_points(self, duplicate_manager=None, context_manager=None):
+        gen = ThompsonSamplingAnchorPointsGenerator(self.space, "random", model=self.model)
+        return gen.get(num_anchor=self.num_anchor, duplicate_manager=duplicate_manager,
+                       unique=bool(duplicate_manager), context_manager=context_manager)
+
+    def optimize_anchor_point(self, a, duplicate_manager=None, context_manager=None):
+        opt = self.acquisition.optimizer
+        # one-anchor local refinement via the device multistart program
+        saved_ns, saved_na = opt.num_samples, opt.num_anchor
+        x, _ = opt.optimize(
+            f=self.acquisition.acquisition_function,
+            f_df=getattr(self.acquisition, "acquisition_function_withGradients", None),
+            duplicate_manager=duplicate_manager, acquisition=self.acquisition,
+        )
+        opt.num_samples, opt.num_anchor = saved_ns, saved_na
+        return self.space.round_optimum(x)
+
+    def compute_batch_without_duplicate_logic(self, context_manager=None):
+        anchors = self.get_anchor_points(context_manager=context_manager)
+        return np.vstack([
+            self.optimize_anchor_point(a, context_manager=context_manager)
+            for a, _ in zip(anchors, range(self.batch_size))
+        ])
+
+
+def estimate_L(model, bounds, seed=0):
+    """Lipschitz estimate: max |grad mu(x)| over 500 uniform samples + the training
+    inputs, refined by L-BFGS; floor L=10 when < 1e-7
+    (batch_local_penalization.py:52-76). One jitted vmapped program on device."""
+    gp = model.model
+    post = model.posterior
+
+    lo = np.asarray([b[0] for b in bounds], dtype=float)
+    hi = np.asarray([b[1] for b in bounds], dtype=float)
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(lo, hi, size=(500, len(bounds)))
+    X_train = np.asarray(gp.X)
+    if gp.mask is not None:
+        X_train = X_train[np.asarray(gp.mask) > 0]
+    samples = np.vstack([samples, X_train])
+
+    def neg_grad_norm(x):
+        def mean_at(xx):
+            mu, _ = gp.predict(xx[None, :], posterior=post)
+            return mu[0, 0]
+
+        g = jax.grad(mean_at)(x)
+        return -jnp.sqrt(jnp.sum(jnp.square(g)) + 1e-300)
+
+    vals = jax.jit(jax.vmap(neg_grad_norm))(jnp.asarray(samples))
+    x0 = samples[int(np.argmin(np.asarray(vals)))]
+    res = lbfgs.minimize(neg_grad_norm, jnp.asarray(x0), lower=jnp.asarray(lo),
+                         upper=jnp.asarray(hi), maxiter=200)
+    L = float(-res.f)
+    if L < 1e-7:
+        L = 10.0  # to avoid problems in cases in which the model is flat
+    return L
+
+
+class LocalPenalization(EvaluatorBase):
+    """Greedy LP batch construction (batch_local_penalization.py:9)."""
+
+    def __init__(self, acquisition, batch_size):
+        super().__init__(acquisition, batch_size)
+
+    def compute_batch(self, duplicate_manager=None, context_manager=None):
+        from .acquisitions import AcquisitionLP
+
+        assert isinstance(self.acquisition, AcquisitionLP)
+        acq = self.acquisition
+        acq.update_batches(None, None, None)
+
+        X_batch, _ = acq.optimize(duplicate_manager=duplicate_manager)
+        k = 1
+        if self.batch_size > 1:
+            L = estimate_L(acq.model, acq.space.get_bounds())
+            Min = acq.model.Y_min()
+        while k < self.batch_size:
+            acq.update_batches(X_batch, L, Min)
+            new_sample, _ = acq.optimize(duplicate_manager=duplicate_manager)
+            X_batch = np.vstack((X_batch, new_sample))
+            k += 1
+        acq.update_batches(None, None, None)
+        return X_batch

@@ -1,0 +1,241 @@
+"""Acquisition optimization (GPyOpt/GPyOpt/optimization/acquisition_optimizer.py:16
+`AcquisitionOptimizer`, `ContextManager`:82; optimization/optimizer.py `OptLbfgs`:28,
+`apply_optimizer`:130, `choose_optimizer`:235).
+
+Reference flow: 1000-candidate sweep -> top-5 anchors -> per-anchor scipy L-BFGS-B ->
+round to the mixed space -> re-evaluate at the rounded point -> min (all serial Python
+on CPU).
+
+TPU-native flow (same decisions, batched): the candidate sweep is one jitted vmapped
+program; the 5 anchor L-BFGS runs are ONE vmapped jitted L-BFGS program with box
+bounds; context variables are handled by collapsing their box bounds to a point
+(equivalent to GPyOpt's reduced-space OptimizationWithContext wrapper, optimizer.py:171).
+Rounding / duplicate checks / constraint indicators stay host-side (they are data-
+dependent set logic), matching reference behavior: round_optimum then re-evaluate f at
+the rounded point (optimizer.py:166).
+
+Host fallback (`optimize_host`) reproduces the reference path exactly (scipy
+L-BFGS-B on the host callables) for surrogates without a pure jnp core or when an
+evaluation-cost model is attached.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lbfgs
+from .anchor_points import ObjectiveAnchorPointsGenerator, ThompsonSamplingAnchorPointsGenerator
+
+
+class ContextManager:
+    """Fix a subset of variables during acquisition optimization
+    (acquisition_optimizer.py:82; `_expand_vector`:119)."""
+
+    def __init__(self, space, context=None):
+        self.space = space
+        self.context = context or {}
+        dm = space.model_dimensionality
+        self.context_index = []
+        self.context_value = []
+        model_idx = 0
+        for v, msl in zip(space.space_expanded, space._model_slices):
+            if v.name in self.context:
+                enc = v.objective_to_model(self.context[v.name])
+                for j, val in enumerate(enc):
+                    self.context_index.append(msl.start + j)
+                    self.context_value.append(float(val))
+            model_idx += v.dimensionality_in_model
+        self.noncontext_index = [i for i in range(dm) if i not in set(self.context_index)]
+        bounds = space.get_bounds()
+        self.noncontext_bounds = [bounds[i] for i in self.noncontext_index]
+
+    def apply_context(self, X_model):
+        X_model = np.array(np.atleast_2d(X_model), dtype=float, copy=True)
+        if self.context_index:
+            X_model[:, self.context_index] = np.asarray(self.context_value)
+        return X_model
+
+    def _expand_vector(self, x_reduced):
+        """(acquisition_optimizer.py:119) reduced (noncontext) -> full model vector."""
+        x_reduced = np.atleast_2d(x_reduced)
+        out = np.zeros((x_reduced.shape[0], self.space.model_dimensionality))
+        out[:, self.noncontext_index] = x_reduced
+        if self.context_index:
+            out[:, self.context_index] = np.asarray(self.context_value)
+        return out
+
+
+class AcquisitionOptimizer:
+    """(acquisition_optimizer.py:16). optimizer_name in {'lbfgs' (device path),
+    'lbfgs_host' (reference-exact scipy path), 'CMA'/'DIRECT' fall back to host
+    random+lbfgs)."""
+
+    def __init__(self, space, optimizer="lbfgs", model=None, design_type="random",
+                 num_samples=1000, num_anchor=5, maxiter=200, seed=0, **kwargs):
+        self.space = space
+        self.optimizer_name = optimizer
+        self.model = model
+        self.design_type = design_type
+        self.num_samples = num_samples
+        self.num_anchor = num_anchor
+        self.maxiter = maxiter
+        self.context_manager = None
+        self._seed = seed
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------- jitted programs
+    def _programs(self, acq):
+        key = id(acq)
+        if key not in self._jit_cache:
+
+            def score_fn(gp, post, fmin, state, X):
+                return acq.pure_neg_acq(gp, post, fmin, state, X)
+
+            def multistart_fn(gp, post, fmin, state, anchors, lo, hi):
+                def solve(a):
+                    res = lbfgs.minimize(
+                        lambda x: acq.pure_neg_acq(gp, post, fmin, state, x[None, :])[0],
+                        a, lower=lo, upper=hi, maxiter=self.maxiter,
+                    )
+                    return res.x, res.f
+
+                return jax.vmap(solve)(anchors)
+
+            self._jit_cache[key] = (jax.jit(score_fn), jax.jit(multistart_fn))
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------- public API
+    def optimize(self, f=None, df=None, f_df=None, duplicate_manager=None,
+                 acquisition=None):
+        """Returns (x_min (1, model_dim), fx_min (1,1)) like the reference (:45-79)."""
+        device_ok = (
+            acquisition is not None
+            and self.optimizer_name == "lbfgs"
+            and not getattr(acquisition, "has_cost", False)
+        )
+        if device_ok:
+            return self._optimize_device(acquisition, f, duplicate_manager)
+        return self.optimize_host(f=f, df=df, f_df=f_df,
+                                  duplicate_manager=duplicate_manager)
+
+    # ------------------------------------------------------------- device path
+    def _optimize_device(self, acq, f_host, duplicate_manager):
+        space = self.space
+        cm = self.context_manager
+        score_jit, multistart_jit = self._programs(acq)
+        gp, post, fmin, state = acq.device_args()
+
+        # 1) anchor sweep (anchor_points_generator.py:20: sample, dedupe, score, top-k)
+        from .designs import initial_design
+
+        self._seed += 1
+        X_obj = initial_design(self.design_type, space, self.num_samples, seed=self._seed)
+        if duplicate_manager:
+            keep = [i for i, x in enumerate(X_obj)
+                    if not duplicate_manager.is_unzipped_x_duplicate(x)]
+            X_obj = X_obj[keep] if keep else X_obj
+        Xm = space.unzip_inputs(X_obj)
+        if cm is not None:
+            Xm = cm.apply_context(Xm)
+        scores = np.asarray(score_jit(gp, post, fmin, state, jnp.asarray(Xm)))
+        if space.has_constraints():
+            ind = space.indicator_constraints(Xm).flatten()
+            scores = np.where(ind == 1, scores, np.inf)
+        order = np.argsort(scores)
+        anchors = Xm[order[: self.num_anchor]]
+
+        # 2) vmapped multi-start L-BFGS in the box (context dims collapsed)
+        bounds = space.get_bounds()
+        lo = np.asarray([b[0] for b in bounds], dtype=float)
+        hi = np.asarray([b[1] for b in bounds], dtype=float)
+        if cm is not None and cm.context_index:
+            lo[cm.context_index] = np.asarray(cm.context_value)
+            hi[cm.context_index] = np.asarray(cm.context_value)
+        xs, fs = multistart_jit(gp, post, fmin, state, jnp.asarray(anchors),
+                                jnp.asarray(lo), jnp.asarray(hi))
+        xs = np.asarray(xs)
+
+        # 3) round, re-apply context, re-evaluate, de-duplicate, select
+        #    (optimizer.py:130-168 apply_optimizer)
+        candidates = []
+        for x in xs:
+            xr = space.round_optimum(x)[0]
+            if cm is not None and cm.context_index:
+                xr[cm.context_index] = np.asarray(cm.context_value)
+            candidates.append(xr)
+        for a in anchors:  # anchor fallback when rounded points collide/duplicate
+            candidates.append(a)
+        C = np.vstack([np.atleast_2d(c) for c in candidates])
+        fC = np.asarray(score_jit(gp, post, fmin, state, jnp.asarray(C))).flatten()
+        if space.has_constraints():
+            ind = space.indicator_constraints(C).flatten()
+            fC = np.where(ind == 1, fC, np.inf)
+        if duplicate_manager:
+            dup = np.asarray(
+                [duplicate_manager.is_unzipped_x_duplicate(c) for c in C]
+            )
+            if not np.all(dup):
+                fC = np.where(dup, np.inf, fC)
+        best = int(np.argmin(fC))
+        x_min = np.atleast_2d(C[best])
+        # report the host acquisition value (includes indicator/cost) for parity
+        fx_min = np.atleast_2d(fC[best])
+        return x_min, fx_min
+
+    # ------------------------------------------------------------- host path
+    def optimize_host(self, f=None, df=None, f_df=None, duplicate_manager=None):
+        """Reference-exact path: anchors scored by f, scipy L-BFGS-B per anchor
+        (optimizer.py OptLbfgs:28 + apply_optimizer:130)."""
+        import scipy.optimize
+
+        space = self.space
+        cm = self.context_manager
+
+        anchor_gen = ObjectiveAnchorPointsGenerator(
+            space, self.design_type, lambda X: f(X), num_samples=self.num_samples
+        )
+        self._seed += 1
+        anchors = anchor_gen.get(
+            num_anchor=self.num_anchor, duplicate_manager=duplicate_manager,
+            unique=bool(duplicate_manager), context_manager=cm, seed=self._seed,
+        )
+
+        bounds = space.get_bounds()
+        lo = np.asarray([b[0] for b in bounds], dtype=float)
+        hi = np.asarray([b[1] for b in bounds], dtype=float)
+        if cm is not None and cm.context_index:
+            lo[cm.context_index] = np.asarray(cm.context_value)
+            hi[cm.context_index] = np.asarray(cm.context_value)
+
+        candidates = []
+        for a in anchors:
+            if f_df is not None:
+                func = lambda x: tuple(
+                    np.asarray(v).flatten()[0] if i == 0 else np.asarray(v).flatten()
+                    for i, v in enumerate(f_df(np.atleast_2d(x)))
+                )
+                res = scipy.optimize.minimize(
+                    func, a, method="L-BFGS-B", jac=True,
+                    bounds=list(zip(lo, hi)), options={"maxiter": self.maxiter},
+                )
+            else:
+                res = scipy.optimize.minimize(
+                    lambda x: float(np.asarray(f(np.atleast_2d(x))).flatten()[0]),
+                    a, method="L-BFGS-B", bounds=list(zip(lo, hi)),
+                    options={"maxiter": self.maxiter},
+                )
+            x = res.x if np.isfinite(res.fun) else a  # ABNORMAL fallback (:54-56)
+            xr = space.round_optimum(x)[0]
+            if cm is not None and cm.context_index:
+                xr[cm.context_index] = np.asarray(cm.context_value)
+            candidates.append(xr)
+        candidates.extend([a for a in anchors])
+        C = np.vstack([np.atleast_2d(c) for c in candidates])
+        fC = np.asarray(f(C)).flatten()
+        if duplicate_manager:
+            dup = np.asarray([duplicate_manager.is_unzipped_x_duplicate(c) for c in C])
+            if not np.all(dup):
+                fC = np.where(dup, np.inf, fC)
+        best = int(np.argmin(fC))
+        return np.atleast_2d(C[best]), np.atleast_2d(fC[best])

@@ -26,6 +26,12 @@ class Config:
     jitchol_maxtries: int = 5
     # Predictive-variance floor (GPyOpt gpmodel.py:99 clips at 1e-10 before sqrt).
     variance_floor: float = 1e-10
+    # float32 minimum effective noise on the Gram diagonal. The reference runs
+    # float64 LAPACK where exact_feval's 1e-6 noise is fine; in f32 on TPU that is
+    # below Cholesky's resolution once the kernel variance grows, and the fit dies
+    # with an unrecoverable non-PD matrix. Applied ONLY when the compute dtype is
+    # float32 (f64 parity paths are unaffected).
+    f32_noise_floor: float = 1e-4
     # Acquisition std floor (GPyOpt util/general.py:121 floors s at 1e-10).
     std_floor: float = 1e-10
 

@@ -1,0 +1,209 @@
+"""BO surrogate-model wrappers (GPyOpt/GPyOpt/models/: base.py `BOModel`, gpmodel.py:9
+`GPModel`, `GPModel_MCMC`:180).
+
+The wrapper owns the GPyOpt-side conventions:
+- ``predict`` returns (mean, **std**) with the variance clipped at 1e-10 before the
+  sqrt (gpmodel.py:102, :99);
+- ``get_fmin`` = min posterior mean at the training inputs (gpmodel.py:125);
+- default kernel Matern52 (ARD), optionally Gower-wrapped with the design space's
+  continuous ranges (gpmodel.py:58, the reference author's modification);
+- default noise = Y.var() * 0.01 (gpmodel.py:64); ``exact_feval`` fixes the noise at
+  1e-6, otherwise it is bounded to [1e-9, 1e6] (gpmodel.py:72-76);
+- ``updateModel`` refits with multi-restart L-BFGS (gpmodel.py:88-93).
+
+TPU-first redesign: training data lives in fixed-size padded buffers (bucketed at
+powers of two), so the jitted fit/predict programs compile once per bucket instead of
+once per BO iteration; the per-bucket `Fitter` programs are cached on the wrapper.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..kernels.gower import Gower
+from ..kernels.stationary import Matern52
+from ..utils.transforms import Logistic
+from .fit import Fitter
+from .gp import GPRegression
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    """Power-of-two padding bucket: O(log N) recompiles as the BO loop grows N."""
+    return max(minimum, 2 ** math.ceil(math.log2(max(n, 1))))
+
+
+class BOModel:
+    """Abstract surrogate interface (GPyOpt models/base.py)."""
+
+    analytical_gradient_prediction = False
+    MCMC_sampler = False
+
+    def updateModel(self, X_all, Y_all, X_new=None, Y_new=None):
+        raise NotImplementedError
+
+    def predict(self, X):
+        raise NotImplementedError
+
+    def predict_withGradients(self, X):
+        raise NotImplementedError
+
+    def get_fmin(self):
+        raise NotImplementedError
+
+
+class GPModel(BOModel):
+    """Exact/padded GP surrogate (GPyOpt gpmodel.py:9)."""
+
+    analytical_gradient_prediction = True
+
+    def __init__(
+        self,
+        kernel=None,
+        noise_var=None,
+        exact_feval=False,
+        optimizer="lbfgs",
+        max_iters=1000,
+        optimize_restarts=5,
+        verbose=False,
+        ARD=False,
+        Gower=False,
+        space=None,
+        mean_function=None,
+        seed=0,
+    ):
+        self.kernel_template = kernel
+        self.noise_var = noise_var
+        self.exact_feval = exact_feval
+        self.optimizer_name = optimizer
+        self.max_iters = max_iters
+        self.optimize_restarts = optimize_restarts
+        self.verbose = verbose
+        self.ARD = ARD
+        self.Gower = Gower
+        self.space = space
+        self.mean_function = mean_function
+        self.model: GPRegression | None = None
+        self.posterior = None
+        self._fitters: dict = {}
+        self._key = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------ internals
+    def _default_kernel(self, input_dim):
+        """Matern52 ARD default; Gower wrap takes the space's continuous ranges
+        (gpmodel.py:58 + GPy stationary.py:61-64)."""
+        base = Matern52.create(input_dim, variance=1.0, ARD=self.ARD)
+        if self.Gower and self.space is not None:
+            cont = self.space.get_continuous_dims()
+            disc = [d for d in range(input_dim) if d not in cont]
+            return Gower.create(
+                base,
+                ranges=np.asarray(self.space.lengthscales(), dtype=float),
+                cont_dims=tuple(cont),
+                disc_dims=tuple(disc),
+                gpy_compat=True,
+            )
+        return base
+
+    def _create_model(self, X, Y, max_points):
+        noise = self.noise_var if self.noise_var is not None else float(np.var(Y)) * 0.01
+        kern = self.kernel_template
+        if kern is None:
+            kern = self._default_kernel(X.shape[1])
+        noise = 1e-6 if self.exact_feval else noise
+        self.model = GPRegression.create(
+            X, Y, kernel=kern, noise_var=noise,
+            mean_function=self.mean_function, max_points=max_points,
+        )
+
+    def _fitter_for(self, bucket):
+        if bucket not in self._fitters:
+            if self.exact_feval:
+                # fix the noise (gpmodel.py:72-73)
+                fix, overrides = ("likelihood_variance",), None
+            else:
+                # bound it to [1e-9, 1e6] (gpmodel.py:74-76)
+                fix, overrides = (), {"likelihood_variance": Logistic(lo=1e-9, hi=1e6)}
+            self._fitters[bucket] = Fitter(
+                self.model,
+                num_restarts=self.optimize_restarts,
+                maxiter=self.max_iters,
+                fix=fix,
+                transform_overrides=overrides,
+            )
+        return self._fitters[bucket]
+
+    # ------------------------------------------------------------------ public API
+    def updateModel(self, X_all, Y_all, X_new=None, Y_new=None):
+        """Refit on all data (gpmodel.py:78-93): set data, multi-restart L-BFGS."""
+        X_all = np.atleast_2d(np.asarray(X_all, dtype=float))
+        Y_all = np.asarray(Y_all, dtype=float).reshape(len(X_all), -1)
+        n = X_all.shape[0]
+        bucket = _bucket(n)
+        if self.model is None:
+            self._create_model(X_all, Y_all, max_points=bucket)
+        else:
+            self.model = self.model.with_data(X_all, Y_all, max_points=bucket)
+        if self.max_iters > 0:
+            fitter = self._fitter_for(bucket)
+            self._key, sub = jax.random.split(self._key)
+            self.model, _info = fitter(self.model, sub)
+        self.posterior = self.model.inference()
+        self._fmin = None
+
+    def predict(self, X):
+        """(mean, STD) with variance floored at 1e-10 (gpmodel.py:102-124)."""
+        X = np.atleast_2d(X)
+        mu, v = self.model.predict(jnp.asarray(X, dtype=float), posterior=self.posterior)
+        v = jnp.clip(v, config.variance_floor, None)
+        return np.asarray(mu), np.asarray(jnp.sqrt(v))
+
+    def predict_covariance(self, X):
+        _, cov = self.model.predict(jnp.asarray(np.atleast_2d(X), dtype=float),
+                                    full_cov=True, posterior=self.posterior)
+        return np.asarray(cov)
+
+    def predict_withGradients(self, X):
+        """(m, s, dm/dx, ds/dx); ds = dv/dx / (2 s) (gpmodel.py:131-141)."""
+        X = jnp.asarray(np.atleast_2d(X), dtype=float)
+        mu, v = self.model.predict(X, posterior=self.posterior)
+        v = jnp.clip(v, config.variance_floor, None)
+        s = jnp.sqrt(v)
+        dm, dv = self.model.predictive_gradients(X, posterior=self.posterior)
+        dm = dm[:, :, 0]
+        ds = dv / (2.0 * s)
+        return np.asarray(mu), np.asarray(s), np.asarray(dm), np.asarray(ds)
+
+    def get_fmin(self):
+        """Min posterior mean at the training points (gpmodel.py:125-129), cached
+        per refit."""
+        if getattr(self, "_fmin", None) is None:
+            mu, _ = self.model.predict(self.model.X, posterior=self.posterior)
+            if self.model.mask is not None:
+                mu = jnp.where(self.model.mask[:, None] > 0, mu, jnp.inf)
+            self._fmin = float(jnp.min(mu))
+        return self._fmin
+
+    def Y_min(self):
+        """min of the (real, unpadded) training targets — LP's `Min`
+        (batch_local_penalization.py:44 uses model.model.Y.min())."""
+        Y = np.asarray(self.model.Y)
+        if self.model.mask is not None:
+            Y = Y[np.asarray(self.model.mask) > 0]
+        return float(Y.min())
+
+    def get_model_parameters(self):
+        leaves = jax.tree_util.tree_leaves((self.model.kern, self.model.likelihood_variance))
+        return np.atleast_2d(np.concatenate([np.ravel(np.asarray(l)) for l in leaves]))
+
+    def get_model_parameters_names(self):
+        from .parameters import _leaf_names
+
+        return _leaf_names((self.model.kern, self.model.likelihood_variance))
+
+    # pure device-side state for jitted acquisition programs
+    def device_state(self):
+        return self.model, self.posterior, jnp.asarray(self.get_fmin())

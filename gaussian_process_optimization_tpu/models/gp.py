@@ -86,10 +86,15 @@ class GPRegression:
             kernel = RBF.create(d)  # GPy GPRegression default (gp_regression.py:30)
         norm = Standardize.fit(Y) if normalizer else None
         mask = None
-        if max_points is not None and max_points > n:
+        if max_points is not None:
+            if max_points < n:
+                raise ValueError(f"max_points={max_points} < n={n}")
             pad = max_points - n
             X = jnp.concatenate([X, jnp.zeros((pad, d), X.dtype)])
             Y = jnp.concatenate([Y, jnp.zeros((pad, Y.shape[1]), Y.dtype)])
+            # mask is ALWAYS present when padding is requested — even when pad == 0 —
+            # so the pytree structure (and thus the cached jitted fit program) is
+            # stable as the BO loop grows N to exactly the bucket size.
             mask = (jnp.arange(max_points) < n).astype(X.dtype)
         return cls(
             kern=kernel,
@@ -129,12 +134,20 @@ class GPRegression:
             Yn = Yn * self.mask[:, None]
         return Yn
 
+    def _effective_noise(self, dtype):
+        """sigma^2 + 1e-8 (exact_gaussian_inference.py:52), with an f32-only floor
+        relative to the kernel variance scale (see config.f32_noise_floor)."""
+        noise = self.likelihood_variance + config.noise_jitter
+        if dtype == jnp.float32:
+            noise = jnp.maximum(noise, config.f32_noise_floor)
+        return noise
+
     def inference(self) -> Posterior:
         """Exact Gaussian inference (exact_gaussian_inference.py:37-75)."""
         Yc = self._normalized_Y()
         K = self.kern.K(self.X)
         n = self.X.shape[0]
-        Ky = K + (self.likelihood_variance + config.noise_jitter) * jnp.eye(n, dtype=K.dtype)
+        Ky = K + self._effective_noise(K.dtype) * jnp.eye(n, dtype=K.dtype)
         Ky = linalg.masked_gram(Ky, self.mask)
         L, jitter, ok = linalg.jitchol(Ky)
         alpha = linalg.cho_solve(L, Yc)
