@@ -10,5 +10,17 @@ experiment designs, ask-tell).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# GP numerics are cancellation-heavy (distance trick, collapsed bounds, LML terms).
+# On TPU the MXU computes f32 matmuls with bfloat16 operands by default (~3 decimal
+# digits), which corrupts Gram matrices badly enough to make them non-PSD. A GP
+# library must default to full-precision matmuls; opt out with
+# GPO_TPU_FAST_MATMUL=1 if you know your inputs are pre-scaled.
+if not _os.environ.get("GPO_TPU_FAST_MATMUL"):
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import config as _config  # noqa: F401
 from .config import config  # noqa: F401

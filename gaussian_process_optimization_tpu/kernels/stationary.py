@@ -23,11 +23,25 @@ from ..utils.pytree import pytree_dataclass, static_field
 from .base import Kernel
 
 
+def _dist_matmul(A, B):
+    """Full-precision cross term for the distance trick.
+
+    CRITICAL on TPU: the MXU computes f32 matmuls with bfloat16 inputs by default
+    (~3 decimal digits). For coordinates of magnitude ~10 that corrupts the
+    -2*X@X2^T cross term by O(1), making K badly non-PSD (observed: eigenvalue
+    -0.23 on Branin-scale inputs). Precision.HIGHEST forces full f32 via multi-pass
+    bf16 — still MXU-bound, ~6 passes.
+    """
+    from jax import lax
+
+    return jnp.matmul(A, B, precision=lax.Precision.HIGHEST)
+
+
 def sq_dist(X, X2=None):
     """Pairwise squared Euclidean distance, clipped at 0 (GPy _unscaled_dist:155)."""
     if X2 is None:
         Xsq = jnp.sum(jnp.square(X), axis=-1)
-        r2 = -2.0 * (X @ X.T) + Xsq[:, None] + Xsq[None, :]
+        r2 = -2.0 * _dist_matmul(X, X.T) + Xsq[:, None] + Xsq[None, :]
         r2 = jnp.maximum(r2, 0.0)
         # exact zeros on the diagonal (GPy sets them explicitly)
         n = X.shape[0]
@@ -35,7 +49,7 @@ def sq_dist(X, X2=None):
         return r2
     X1sq = jnp.sum(jnp.square(X), axis=-1)
     X2sq = jnp.sum(jnp.square(X2), axis=-1)
-    r2 = -2.0 * (X @ X2.T) + X1sq[:, None] + X2sq[None, :]
+    r2 = -2.0 * _dist_matmul(X, X2.T) + X1sq[:, None] + X2sq[None, :]
     return jnp.maximum(r2, 0.0)
 
 
