@@ -75,17 +75,40 @@ class AcquisitionBase:
         applied host-side at anchor selection / final check)."""
         return -self.pure_raw_acq(gp, posterior, fmin, state, X)[:, 0]
 
+    @property
+    def supports_device(self):
+        """True when the surrogate exposes a pure jnp state (GP family); False for
+        host-only surrogates like the random forest — those go through the host
+        predict() path exactly like the reference (EI.py:32 calls model.predict)."""
+        return hasattr(self.model, "device_state")
+
     def device_args(self):
         """(gp, posterior, fmin, state) for the pure core."""
         gp, post, fmin = self.model.device_state()
         return gp, post, fmin, None
 
+    def host_raw_acq(self, m, s, fmin):
+        """Raw acquisition from host (numpy) predictions — used for surrogates
+        without a device state. Default: evaluate the pure formula on numpy-backed
+        jnp arrays."""
+        raise NotImplementedError
+
     # ---------------------------------------------------------------- host API
     def _compute_acq(self, x):
+        x = np.atleast_2d(x)
+        if not self.supports_device:
+            m, s = self.model.predict(x)
+            return np.asarray(self.host_raw_acq(jnp.asarray(m), jnp.asarray(s),
+                                                self.model.get_fmin()))
         gp, post, fmin, state = self.device_args()
-        return np.asarray(self.pure_raw_acq(gp, post, fmin, state, jnp.asarray(np.atleast_2d(x), dtype=float)))
+        return np.asarray(self.pure_raw_acq(gp, post, fmin, state, jnp.asarray(x, dtype=float)))
 
     def _compute_acq_withGradients(self, x):
+        if not self.supports_device:
+            m, s, dm, ds = self.model.predict_withGradients(np.atleast_2d(x))
+            raise NotImplementedError(
+                "gradient path requires a device-state surrogate or an override"
+            )
         gp, post, fmin, state = self.device_args()
         X = jnp.asarray(np.atleast_2d(x), dtype=float)
 
@@ -113,6 +136,11 @@ class AcquisitionBase:
 
     def optimize(self, duplicate_manager=None):
         """(base.py:52) — delegates to the AcquisitionOptimizer."""
+        if not self.supports_device:
+            # host-only surrogate (e.g. RF): gradient-free host optimization
+            return self.optimizer.optimize(
+                f=self.acquisition_function, duplicate_manager=duplicate_manager,
+            )
         if not self.analytical_gradient_acq:
             return self.optimizer.optimize(
                 f=self.acquisition_function, duplicate_manager=duplicate_manager,
@@ -137,6 +165,9 @@ class AcquisitionEI(AcquisitionBase):
 
     def pure_raw_acq(self, gp, posterior, fmin, state, X):
         m, s = _pure_predict(gp, posterior, X)
+        return self.host_raw_acq(m, s, fmin)
+
+    def host_raw_acq(self, m, s, fmin):
         phi, Phi, u = get_quantiles(self.jitter, fmin, m, s)
         return s * (u * Phi + phi)
 
@@ -152,6 +183,9 @@ class AcquisitionMPI(AcquisitionBase):
 
     def pure_raw_acq(self, gp, posterior, fmin, state, X):
         m, s = _pure_predict(gp, posterior, X)
+        return self.host_raw_acq(m, s, fmin)
+
+    def host_raw_acq(self, m, s, fmin):
         _, Phi, _ = get_quantiles(self.jitter, fmin, m, s)
         return Phi
 
@@ -170,6 +204,9 @@ class AcquisitionLCB(AcquisitionBase):
 
     def pure_raw_acq(self, gp, posterior, fmin, state, X):
         m, s = _pure_predict(gp, posterior, X)
+        return self.host_raw_acq(m, s, fmin)
+
+    def host_raw_acq(self, m, s, fmin):
         return -m + self.exploration_weight * s
 
 

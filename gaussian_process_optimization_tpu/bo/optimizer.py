@@ -111,6 +111,7 @@ class AcquisitionOptimizer:
         """Returns (x_min (1, model_dim), fx_min (1,1)) like the reference (:45-79)."""
         device_ok = (
             acquisition is not None
+            and getattr(acquisition, "supports_device", False)
             and self.optimizer_name == "lbfgs"
             and not getattr(acquisition, "has_cost", False)
         )

@@ -23,12 +23,17 @@ POSITIVE_NAMES = {
     "bias_variance",
     "kappa",
     "period",
+    # warping parameters: TanhWarp a/b/d, KumarWarp a/b (GPy constrains all positive)
+    "a",
+    "b",
+    "d",
 }
 
 # Data / derived buffers — never trainable.
 DATA_NAMES = {
     "X", "Y", "mask", "ranges", "fixed_K", "mean", "std",
     "L", "alpha", "jitter", "ok", "lml",
+    "lo", "hi", "num_data",
 }
 
 

@@ -1,0 +1,207 @@
+"""Warped GPs.
+
+- WarpedGP (``GPy/GPy/models/warped_gp.py`` + ``GPy/GPy/util/warping_functions.py``
+  ``TanhFunction:71``): a monotone tanh warp on the OUTPUTS,
+  f(y) = y*d + sum_i a_i tanh(b_i (y + c_i));  LML(z=f(y)) + sum log f'(y).
+  Prediction inverts the warp (Newton iterations, jit-safe fori_loop) for the
+  median, or Gauss-Hermite quadrature for the mean (warped_gp.py predict).
+- InputWarpedGP (``GPy/GPy/models/input_warped_gp.py`` +
+  ``GPy/GPy/util/input_warping_functions.py`` ``KumarWarping``): Kumaraswamy CDF
+  warp on each INPUT dim, x' = 1 - (1 - x_unit^a)^b with x_unit min-max normalized;
+  standard GP on warped inputs, a/b trainable (positive).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..kernels.base import Kernel
+from ..kernels.stationary import RBF
+from ..utils.pytree import pytree_dataclass, static_field
+from .gp import GPRegression, Posterior
+
+
+@pytree_dataclass
+class TanhWarp:
+    """f(y) = y*d + sum_i a_i tanh(b_i (y + c_i)) — GPy TanhFunction (a,b,d > 0)."""
+
+    d: jnp.ndarray = None
+    a: jnp.ndarray = None
+    b: jnp.ndarray = None
+    c: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, n_terms=3):
+        return cls(
+            d=jnp.asarray(1.0),
+            a=jnp.ones((n_terms,)),
+            b=jnp.ones((n_terms,)),
+            c=jnp.zeros((n_terms,)),
+        )
+
+    def f(self, y):
+        return y * self.d + jnp.sum(
+            self.a * jnp.tanh(self.b * (y[..., None] + self.c)), axis=-1
+        )
+
+    def fgrad_y(self, y):
+        t = jnp.tanh(self.b * (y[..., None] + self.c))
+        return self.d + jnp.sum(self.a * self.b * (1.0 - jnp.square(t)), axis=-1)
+
+    def f_inv(self, z, iters=30):
+        """Newton inversion (GPy warping_functions f_inv uses iterative updates)."""
+        y0 = z / self.d
+
+        def body(_, y):
+            return y - (self.f(y) - z) / jnp.maximum(self.fgrad_y(y), 1e-10)
+
+        return lax.fori_loop(0, iters, body, y0)
+
+
+@pytree_dataclass
+class WarpedGP:
+    """GP on z = warp(Y) with the warp Jacobian in the LML (warped_gp.py:62-78)."""
+
+    gp: GPRegression = None  # holds warped targets implicitly via Y + warp
+    warp: TanhWarp = None
+
+    @classmethod
+    def create(cls, X, Y, kernel=None, noise_var=1.0, warping_terms=3, max_points=None):
+        Y = jnp.asarray(Y, dtype=float)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        warp = TanhWarp.create(warping_terms)
+        gp = GPRegression.create(X, Y, kernel=kernel, noise_var=noise_var,
+                                 max_points=max_points)
+        return cls(gp=gp, warp=warp)
+
+    def _warped_gp(self):
+        Z = self.warp.f(self.gp.Y[..., 0])[..., None]
+        if self.gp.mask is not None:
+            Z = Z * self.gp.mask[:, None]
+        return jax.tree_util.tree_map(lambda x: x, self.gp), Z
+
+    def log_marginal_likelihood(self):
+        gp, Z = self._warped_gp()
+        import dataclasses
+
+        gp_z = dataclasses.replace(gp, Y=Z)
+        lml = gp_z.log_marginal_likelihood()
+        jac = jnp.log(jnp.maximum(self.warp.fgrad_y(self.gp.Y[..., 0]), 1e-300))
+        if self.gp.mask is not None:
+            jac = jac * self.gp.mask
+        return lml + jnp.sum(jac)
+
+    def _posterior(self):
+        import dataclasses
+
+        gp, Z = self._warped_gp()
+        gp_z = dataclasses.replace(gp, Y=Z)
+        return gp_z, gp_z.inference()
+
+    def predict(self, Xnew, median=False, include_likelihood=True, gh_points=20):
+        """Warped-space predict then un-warp: median = f_inv(mu); mean/var via
+        Gauss-Hermite quadrature (warped_gp.py predict:110)."""
+        gp_z, post = self._posterior()
+        mu, var = gp_z.predict(jnp.atleast_2d(Xnew), include_likelihood=include_likelihood,
+                               posterior=post)
+        if median:
+            return self.warp.f_inv(mu), var
+        # E[y] = int f_inv(z) N(z; mu, var) dz by Gauss-Hermite
+        gh_x, gh_w = np.polynomial.hermite.hermgauss(gh_points)
+        gh_x = jnp.asarray(gh_x)
+        gh_w = jnp.asarray(gh_w) / jnp.sqrt(jnp.pi)
+        z = mu[..., None] + jnp.sqrt(2.0 * var[..., None]) * gh_x
+        y = self.warp.f_inv(z)
+        mean = jnp.sum(gh_w * y, axis=-1)
+        second = jnp.sum(gh_w * jnp.square(y), axis=-1)
+        return mean, jnp.maximum(second - jnp.square(mean), 1e-15)
+
+    def predictive_gradients(self, Xnew):
+        def mu_var(x):
+            m, v = self.predict(x[None, :])
+            return m[0, 0], v[0, 0]
+
+        Xnew = jnp.atleast_2d(Xnew)
+        dm = jax.vmap(lambda x: jax.jacfwd(lambda xx: mu_var(xx)[0])(x))(Xnew)
+        dv = jax.vmap(lambda x: jax.jacfwd(lambda xx: mu_var(xx)[1])(x))(Xnew)
+        return dm[:, :, None].swapaxes(1, 2) if dm.ndim == 2 else dm, dv
+
+
+@pytree_dataclass
+class KumarWarp:
+    """Kumaraswamy input warp per dim: x' = 1 - (1 - u^a)^b, u = minmax(x)
+    (GPy input_warping_functions.py KumarWarping). a, b positive, per warped dim."""
+
+    a: jnp.ndarray = None
+    b: jnp.ndarray = None
+    lo: jnp.ndarray = None
+    hi: jnp.ndarray = None
+    dims: tuple = static_field(default=None)
+
+    @classmethod
+    def create(cls, X, dims=None):
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        d = X.shape[1]
+        dims = tuple(range(d)) if dims is None else tuple(dims)
+        lo = X.min(0) - 1e-9
+        hi = X.max(0) + 1e-9
+        k = len(dims)
+        return cls(a=jnp.ones((k,)), b=jnp.ones((k,)),
+                   lo=jnp.asarray(lo), hi=jnp.asarray(hi), dims=dims)
+
+    def f(self, X):
+        X = jnp.atleast_2d(X)
+        u = jnp.clip((X - self.lo) / (self.hi - self.lo), 1e-9, 1.0 - 1e-9)
+        out = X
+        for i, dim in enumerate(self.dims):
+            w = 1.0 - (1.0 - u[:, dim] ** self.a[i]) ** self.b[i]
+            out = out.at[:, dim].set(w)
+        return out
+
+
+@pytree_dataclass
+class InputWarpedGP:
+    """GP over Kumar-warped inputs (input_warped_gp.py:9). The BO wrapper warps the
+    continuous+discrete dims (GPyOpt input_warped_gpmodel.py:9)."""
+
+    gp: GPRegression = None
+    warp: KumarWarp = None
+
+    @classmethod
+    def create(cls, X, Y, kernel=None, noise_var=1.0, warping_indices=None,
+               max_points=None):
+        warp = KumarWarp.create(X, dims=warping_indices)
+        gp = GPRegression.create(X, Y, kernel=kernel, noise_var=noise_var,
+                                 max_points=max_points)
+        return cls(gp=gp, warp=warp)
+
+    def _warped(self):
+        import dataclasses
+
+        Xw = self.warp.f(self.gp.X)
+        return dataclasses.replace(self.gp, X=Xw)
+
+    def log_marginal_likelihood(self):
+        return self._warped().log_marginal_likelihood()
+
+    def predict(self, Xnew, include_likelihood=True):
+        gp_w = self._warped()
+        return gp_w.predict(self.warp.f(jnp.atleast_2d(Xnew)),
+                            include_likelihood=include_likelihood)
+
+    def predictive_gradients(self, Xnew):
+        gp_w = self._warped()
+        post = gp_w.inference()
+
+        def mu_var(x):
+            xw = self.warp.f(x[None, :])[0]
+            mu, v = gp_w._raw_predict(xw[None, :], posterior=post)
+            return mu[0, 0], v[0, 0] + gp_w.likelihood_variance
+
+        Xnew = jnp.atleast_2d(Xnew)
+        dm = jax.vmap(lambda x: jax.jacfwd(lambda xx: mu_var(xx)[0])(x))(Xnew)
+        dv = jax.vmap(lambda x: jax.jacfwd(lambda xx: mu_var(xx)[1])(x))(Xnew)
+        return dm[:, None, :].swapaxes(1, 2), dv

@@ -1,0 +1,128 @@
+"""BO wrappers for warped GPs (GPyOpt/GPyOpt/models/warpedgpmodel.py:15
+`WarpedGPModel`, input_warped_gpmodel.py:9 `InputWarpedGPModel` — the latter warps
+continuous and discrete dims with Kumar warping)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..kernels.stationary import Matern52
+from .bo_models import BOModel, _bucket
+from .fit import Fitter
+from .warped import InputWarpedGP, WarpedGP
+
+
+class _WarpedBase(BOModel):
+    analytical_gradient_prediction = False  # gradients via autodiff on demand
+
+    def __init__(self, kernel=None, noise_var=None, exact_feval=False,
+                 optimizer="lbfgs", max_iters=500, optimize_restarts=3,
+                 verbose=False, ARD=False, seed=0):
+        self.kernel_template = kernel
+        self.noise_var = noise_var
+        self.exact_feval = exact_feval
+        self.max_iters = max_iters
+        self.optimize_restarts = optimize_restarts
+        self.verbose = verbose
+        self.ARD = ARD
+        self.model = None
+        self._fitters = {}
+        self._key = jax.random.PRNGKey(seed)
+
+    def _kern(self, d):
+        return self.kernel_template or Matern52.create(d, ARD=self.ARD)
+
+    def _make(self, X, Y, bucket):
+        raise NotImplementedError
+
+    def updateModel(self, X_all, Y_all, X_new=None, Y_new=None):
+        X_all = np.atleast_2d(np.asarray(X_all, dtype=float))
+        Y_all = np.asarray(Y_all, dtype=float).reshape(len(X_all), -1)
+        bucket = _bucket(X_all.shape[0])
+        self.model = self._make(X_all, Y_all, bucket)
+        if bucket not in self._fitters:
+            fix = ("likelihood_variance",) if self.exact_feval else ()
+            self._fitters[bucket] = Fitter(
+                self.model, num_restarts=self.optimize_restarts,
+                maxiter=self.max_iters, fix=fix,
+            )
+        self._key, sub = jax.random.split(self._key)
+        self.model, _ = self._fitters[bucket](self.model, sub)
+
+    def predict(self, X):
+        mu, v = self.model.predict(jnp.asarray(np.atleast_2d(X), dtype=float))
+        v = jnp.clip(v, config.variance_floor, None)
+        return np.asarray(mu).reshape(len(np.atleast_2d(X)), -1), np.asarray(jnp.sqrt(v)).reshape(len(np.atleast_2d(X)), -1)
+
+    def predict_withGradients(self, X):
+        X = jnp.asarray(np.atleast_2d(X), dtype=float)
+
+        def mu_s(x):
+            mu, v = self.model.predict(x[None, :])
+            v = jnp.clip(v, config.variance_floor, None)
+            return jnp.ravel(mu)[0], jnp.sqrt(jnp.ravel(v)[0])
+
+        m_and_s = jax.vmap(mu_s)(X)
+        dm = jax.vmap(jax.grad(lambda x: mu_s(x)[0]))(X)
+        ds = jax.vmap(jax.grad(lambda x: mu_s(x)[1]))(X)
+        return (np.asarray(m_and_s[0])[:, None], np.asarray(m_and_s[1])[:, None],
+                np.asarray(dm), np.asarray(ds))
+
+    def get_fmin(self):
+        gpX = self.model.gp.X
+        mu, _ = self.model.predict(gpX)
+        mu = jnp.ravel(mu)
+        if self.model.gp.mask is not None:
+            mu = jnp.where(self.model.gp.mask > 0, mu, jnp.inf)
+        return float(jnp.min(mu))
+
+
+class WarpedGPModel(_WarpedBase):
+    """(warpedgpmodel.py:15)"""
+
+    def __init__(self, *args, warping_terms=3, **kw):
+        super().__init__(*args, **kw)
+        self.warping_terms = warping_terms
+
+    def _make(self, X, Y, bucket):
+        noise = self.noise_var if self.noise_var is not None else float(np.var(Y)) * 0.01
+        noise = 1e-6 if self.exact_feval else noise
+        m = WarpedGP.create(X, Y, kernel=self._kern(X.shape[1]), noise_var=noise,
+                            warping_terms=self.warping_terms, max_points=bucket)
+        if self.model is not None:
+            import dataclasses
+
+            m = dataclasses.replace(m, warp=self.model.warp,
+                                    gp=dataclasses.replace(
+                                        m.gp, kern=self.model.gp.kern,
+                                        likelihood_variance=self.model.gp.likelihood_variance))
+        return m
+
+
+class InputWarpedGPModel(_WarpedBase):
+    """(input_warped_gpmodel.py:9) — warps continuous + discrete dims."""
+
+    def __init__(self, space=None, *args, **kw):
+        super().__init__(*args, **kw)
+        self.space = space
+
+    def _make(self, X, Y, bucket):
+        noise = self.noise_var if self.noise_var is not None else float(np.var(Y)) * 0.01
+        noise = 1e-6 if self.exact_feval else noise
+        warping_indices = None
+        if self.space is not None:
+            warping_indices = sorted(
+                self.space.get_continuous_dims() + self.space.get_discrete_dims()
+            )
+        m = InputWarpedGP.create(X, Y, kernel=self._kern(X.shape[1]), noise_var=noise,
+                                 warping_indices=warping_indices, max_points=bucket)
+        if self.model is not None:
+            import dataclasses
+
+            m = dataclasses.replace(
+                m, warp=dataclasses.replace(self.model.warp, lo=m.warp.lo, hi=m.warp.hi),
+                gp=dataclasses.replace(m.gp, kern=self.model.gp.kern,
+                                       likelihood_variance=self.model.gp.likelihood_variance))
+        return m

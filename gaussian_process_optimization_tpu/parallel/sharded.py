@@ -1,0 +1,204 @@
+"""Multi-chip scale-out over a jax.sharding.Mesh.
+
+The reference's distributed layer is optional MPI: ``GPy/GPy/core/sparse_gp_mpi.py``
+(scatter data, allreduce gradients) and
+``GPy/GPy/inference/latent_function_inference/var_dtc_parallel.py`` (reduceArrays —
+partial sums of sufficient statistics across ranks), plus a multiprocessing objective
+fan-out (``GPyOpt/GPyOpt/core/task/objective.py:80``). TPU-native equivalent: ONE
+SPMD program over a device mesh with XLA collectives riding ICI —
+
+- 'data' axis: training rows / candidate points sharded; per-shard sufficient
+  statistics (A_i A_i^T, A_i y_i, |y_i|^2, traces) are psum-reduced — the exact
+  analog of var_dtc_parallel's allreduce.
+- exact GP: the O(N^2 D) K build shards over row blocks (each device builds its
+  rows against full X); the Cholesky consumes the gathered Gram. For N past one
+  chip's HBM the supported scaling path is the sparse/SVGP bound whose per-device
+  work is O(N_shard M^2) with an M x M psum — the same scaling axes the reference
+  uses (SURVEY §5 'long-context analog').
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import config
+from ..models.gp import LOG_2_PI
+from ..ops import linalg
+
+shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
+if shard_map is None:  # pragma: no cover - older jax fallback
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def make_mesh(n_devices=None, axis_names=("data",)):
+    """Build a Mesh over the first n_devices devices (1-D 'data' mesh by default;
+    pass ('data','model') for a 2-D mesh split as evenly as possible)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if len(axis_names) == 1:
+        shape = (n,)
+    else:
+        d = int(np.floor(np.sqrt(n)))
+        while n % d:
+            d -= 1
+        shape = (d, n // d)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+# ---------------------------------------------------------------------- exact GP
+def make_sharded_exact_lml(mesh):
+    """Returns lml(kern, X, Y, noise, mask) with the K-row-block build sharded over
+    the 'data' axis. X must be padded to a multiple of the axis size."""
+
+    def k_rows_shard(kern, X_rows, X_full):
+        return kern.K(X_rows, X_full)
+
+    k_rows = shard_map(
+        k_rows_shard,
+        mesh=mesh,
+        in_specs=(P(), P("data", None), P(None, None)),
+        out_specs=P("data", None),
+    )
+
+    def lml(kern, X, Y, noise, mask):
+        n = X.shape[0]
+        K = k_rows(kern, X, X)
+        Ky = K + (noise + config.noise_jitter) * jnp.eye(n, dtype=K.dtype)
+        Ky = linalg.masked_gram(Ky, mask)
+        L, jitter, ok = linalg.jitchol(Ky)
+        Yc = Y * mask[:, None]
+        alpha = linalg.cho_solve(L, Yc)
+        n_real = jnp.sum(mask)
+        p = Y.shape[1]
+        val = 0.5 * (
+            -n_real * p * LOG_2_PI
+            - p * linalg.logdet_from_chol(L)
+            - jnp.sum(alpha * Yc)
+        )
+        return val, (L, alpha, ok)
+
+    return lml
+
+
+# ---------------------------------------------------------------------- sparse GP
+def make_sharded_vardtc_lml(mesh):
+    """Returns bound(kern, Z, X, Y, noise, mask): Titsias collapsed bound with
+    data-parallel sufficient statistics psum-reduced over 'data' — the reference's
+    var_dtc_parallel.reduceArrays as an XLA collective."""
+
+    def stats_shard(kern, Z, X_s, Y_s, mask_s):
+        m = Z.shape[0]
+        Kmm = kern.K(Z) + 1e-6 * jnp.eye(m, dtype=X_s.dtype)
+        Lm, _, okm = linalg.jitchol(Kmm)
+        Kmn = kern.K(Z, X_s) * mask_s[None, :]
+        Kdiag = kern.Kdiag(X_s) * mask_s
+        A = linalg.solve_lower(Lm, Kmn)
+        Yc = Y_s * mask_s[:, None]
+        AAT = jax.lax.psum(A @ A.T, "data")
+        Ay = jax.lax.psum(A @ Yc, "data")
+        yy = jax.lax.psum(jnp.sum(jnp.square(Yc)), "data")
+        tr = jax.lax.psum(jnp.sum(Kdiag) - jnp.sum(jnp.square(A)), "data")
+        n_real = jax.lax.psum(jnp.sum(mask_s), "data")
+        return AAT, Ay, yy, tr, n_real, okm
+
+    stats = shard_map(
+        stats_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data", None), P("data", None), P("data")),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+    )
+
+    def bound(kern, Z, X, Y, noise, mask):
+        sigma2 = noise + config.noise_jitter
+        m = Z.shape[0]
+        p = Y.shape[1]
+        AAT, Ay, yy, tr, n_real, okm = stats(kern, Z, X, Y, mask)
+        B = jnp.eye(m, dtype=AAT.dtype) + AAT / sigma2
+        LB, _, okB = linalg.jitchol(B)
+        c = linalg.solve_lower(LB, Ay) / sigma2
+        return (
+            -0.5 * n_real * p * (LOG_2_PI + jnp.log(sigma2))
+            - 0.5 * p * linalg.logdet_from_chol(LB)
+            - 0.5 * yy / sigma2
+            + 0.5 * jnp.sum(jnp.square(c))
+            - 0.5 * p * tr / sigma2
+        )
+
+    return bound
+
+
+# ---------------------------------------------------------------------- SVGP step
+def make_sharded_svgp_step(model_template, mesh, learning_rate=1e-2):
+    """Data-parallel SVGP training step: batch rows sharded on 'data', parameters
+    replicated; per-shard gradients are psum-ed so every device applies the same
+    Adam update (the SVI analog of sparse_gp_mpi's gradient allreduce).
+
+    Returns (packer, init(model) -> (u, opt_state), step(u, opt_state, model, X, Y)).
+    Global batch size must be a multiple of the 'data' axis size.
+    """
+    import optax
+
+    from ..models.parameters import make_packer
+
+    opt = optax.adam(learning_rate)
+    packer = make_packer(model_template, fix=("num_data",))
+    p_data = mesh.shape["data"]
+
+    def local_loss(u, model_ref, X_s, Y_s):
+        # sum of local losses over shards == global loss:
+        # -(scale * sum_i ell_i - KL)  ==  sum_shards[ -(scale * ell_shard - KL/p) ]
+        mdl = packer.unpack(u, reference=model_ref)
+        sigma2 = mdl.likelihood_variance + config.noise_jitter
+        mu, var = mdl._predict_f(X_s)
+        ell = -0.5 * (LOG_2_PI + jnp.log(sigma2)) - 0.5 * (
+            jnp.square(Y_s - mu) + var
+        ) / sigma2
+        b_global = X_s.shape[0] * p_data
+        scale = mdl.num_data / b_global
+        return -(scale * jnp.sum(ell) - mdl.kl() / p_data)
+
+    def step_shard(u, opt_state, model_ref, X_s, Y_s):
+        val, g = jax.value_and_grad(local_loss)(u, model_ref, X_s, Y_s)
+        g = jax.lax.psum(g, "data")
+        val = jax.lax.psum(val, "data")
+        updates, opt_state = opt.update(g, opt_state, u)
+        u = optax.apply_updates(u, updates)
+        return u, opt_state, val
+
+    sharded_step = shard_map(
+        step_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data", None), P("data", None)),
+        out_specs=(P(), P(), P()),
+    )
+
+    step = jax.jit(sharded_step)
+
+    def init(model):
+        u0 = packer.pack(model)
+        return u0, opt.init(u0)
+
+    return packer, init, step
+
+
+# ---------------------------------------------------------------------- sweeps
+def make_sharded_sweep(score_fn, mesh):
+    """Candidate-scoring sweep sharded over 'data' — the acquisition
+    1000-25000-point sweep (anchor_points_generator.py) at multi-chip scale.
+    score_fn(state, X_shard) -> (n_shard,) must be shard-local (pure predict)."""
+
+    def sweep_shard(state, X_s):
+        return score_fn(state, X_s)
+
+    return jax.jit(
+        shard_map(
+            sweep_shard, mesh=mesh,
+            in_specs=(P(), P("data", None)), out_specs=P("data"),
+        )
+    )
