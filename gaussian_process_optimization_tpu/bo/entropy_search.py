@@ -1,0 +1,152 @@
+"""Entropy Search acquisition (GPyOpt/GPyOpt/acquisitions/ES.py:11).
+
+Reference pipeline: draw representer points from an acquisition-proportional density
+with an affine-invariant ensemble sampler (util/mcmc_sampler.py:31), estimate the
+belief over the minimizer p_min via EPMGP (util/epmgp.py — an RoBO-ported EP
+approximation), and score candidates by the expected reduction in the entropy of
+p_min after a fantasized observation.
+
+TPU-native redesign (documented divergence): p_min is estimated by MONTE CARLO over
+joint GP samples at the representer points instead of EPMGP's sequential EP sweep —
+an argmin count over S joint draws is three batched matmuls and vmaps cleanly, where
+EPMGP is an inherently sequential per-point loop. Fantasized updates use exact rank-1
+posterior updates with common random numbers across candidates, all inside one jitted
+program. Same decision quantity (expected entropy reduction of p_min), different
+estimator.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..ops import linalg
+from .acquisitions import AcquisitionBase, get_quantiles
+from .mcmc_sampler import ensemble_sample
+
+
+class AcquisitionEntropySearch(AcquisitionBase):
+    analytical_gradient_prediction = False
+
+    def __init__(self, model, space, optimizer=None, sampler=None,
+                 cost_withGradients=None, num_representer_points=50,
+                 burn_in_steps=50, num_samples=400, proposal_function=None, seed=0):
+        super().__init__(model, space, optimizer, cost_withGradients)
+        self.num_representer_points = num_representer_points
+        self.burn_in_steps = burn_in_steps
+        self.num_samples = num_samples
+        self.proposal_function = proposal_function
+        self._key = jax.random.PRNGKey(seed)
+        self._state = None
+
+    # ------------------------------------------------------------------ setup
+    def _update_representers(self):
+        """Draw representer points ~ proposal (default: log EI, ES.py uses the
+        acquisition as sampling measure)."""
+        gp, post, fmin = self.model.device_state()
+        bounds = self.space.get_bounds()
+        lower = jnp.asarray([b[0] for b in bounds], dtype=float)
+        upper = jnp.asarray([b[1] for b in bounds], dtype=float)
+
+        if self.proposal_function is not None:
+            log_p = lambda x: jnp.asarray(self.proposal_function(x)).reshape(-1)
+        else:
+            def log_p(x):
+                mu, v = gp.predict(x, posterior=post)
+                s = jnp.sqrt(jnp.clip(v, config.variance_floor, None))
+                phi, Phi, u = get_quantiles(0.0, fmin, mu, s)
+                ei = (s * (u * Phi + phi))[:, 0]
+                return jnp.log(jnp.maximum(ei, 1e-40))
+
+        n_walkers = self.num_representer_points + (self.num_representer_points % 2)
+        self._key, sub = jax.random.split(self._key)
+        _, walkers = ensemble_sample(
+            log_p, lower, upper, n_walkers, self.burn_in_steps, sub
+        )
+        Z = walkers[: self.num_representer_points]
+
+        # joint posterior over representers
+        muZ, covZ = gp._raw_predict(Z, full_cov=True, posterior=post)
+        covZ = covZ + 1e-8 * jnp.eye(Z.shape[0], dtype=covZ.dtype)
+        Lz, _, _ = linalg.jitchol(covZ)
+        self._key, sub = jax.random.split(self._key)
+        # common random numbers, reused for base and fantasized p_min
+        W = jax.random.normal(sub, (self.num_samples, Z.shape[0]), dtype=covZ.dtype)
+        self._key, sub = jax.random.split(self._key)
+        w_f = jax.random.normal(sub, (self.num_samples,), dtype=covZ.dtype)
+        self._state = (gp, post, Z, muZ[:, 0], Lz, W, w_f)
+
+    @staticmethod
+    def _pmin_entropy(mu, Lz, W):
+        """H[p_min] from S joint samples f = mu + Lz w: count argmins."""
+        f = mu[None, :] + W @ Lz.T  # (S, R)
+        idx = jnp.argmin(f, axis=1)
+        R = mu.shape[0]
+        counts = jnp.zeros((R,), dtype=f.dtype).at[idx].add(1.0)
+        p = (counts + 1e-6) / jnp.sum(counts + 1e-6)
+        return -jnp.sum(p * jnp.log(p))
+
+    # ------------------------------------------------------------------ acquisition
+    def pure_raw_acq(self, gp, posterior, fmin, state, X):
+        gp, post, Z, muZ, Lz, W, w_f = state
+        base_H = self._pmin_entropy(muZ, Lz, W)
+
+        # joint predictive between x and representers via the woodbury state
+        Kx_train = gp.kern.K(gp.X, X)  # (N, n)
+        if gp.mask is not None:
+            Kx_train = Kx_train * gp.mask[:, None]
+        Kz_train = gp.kern.K(gp.X, Z)
+        if gp.mask is not None:
+            Kz_train = Kz_train * gp.mask[:, None]
+        tmp_x = linalg.solve_lower(post.L, Kx_train)  # (N, n)
+        tmp_z = linalg.solve_lower(post.L, Kz_train)  # (N, R)
+
+        mu_x = (Kx_train.T @ post.alpha)[:, 0]
+        var_x = jnp.clip(
+            gp.kern.Kdiag(X) - jnp.sum(jnp.square(tmp_x), 0), 1e-12, None
+        )
+        # cov(f(Z), f(x)) = K(Z, x) - tmp_z^T tmp_x
+        cov_zx = gp.kern.K(Z, X) - tmp_z.T @ tmp_x  # (R, n)
+
+        noise = gp.likelihood_variance
+        sy = jnp.sqrt(var_x + noise)
+
+        def one_candidate(cov_col, s_yi, mu_xi):
+            # rank-1 fantasy update of the representer posterior:
+            # dmu = cov * (y - mu_x)/(var_x+noise); y = mu_x + s_y * w_f  (CRN)
+            gain = cov_col / jnp.square(s_yi)  # (R,)
+            # covariance downdate: cov_zz' = cov_zz - cov cov^T/(var+noise)
+            u = cov_col / s_yi
+            # downdate the Cholesky via the posterior sample trick instead:
+            # f' = mu + dmu + (Lz w - u (u^T solve?)) — use sample-space projection:
+            # exact joint sampling: f_z | y  ==  mu_z + gain*(y - mu_x) + samples of
+            # N(0, cov_zz - u u^T). Approximate the downdated sample by removing the
+            # u-direction component from the base samples (exact when u is in the
+            # span of Lz, which it is up to the 1e-8 jitter).
+            def entropy_for(wf):
+                y = mu_xi + s_yi * wf
+                mu_new = muZ + gain * (y - mu_xi)
+                # project out the observed direction from the base draws
+                c = W @ (linalg.solve_lower(Lz, u))  # (S,) component along u
+                f = mu_new[None, :] + W @ Lz.T - c[:, None] * u[None, :]
+                idx = jnp.argmin(f, axis=1)
+                counts = jnp.zeros((muZ.shape[0],), dtype=f.dtype).at[idx].add(1.0)
+                p = (counts + 1e-6) / jnp.sum(counts + 1e-6)
+                return -jnp.sum(p * jnp.log(p))
+
+            H_f = jnp.mean(jax.vmap(entropy_for)(w_f[:8]))  # few fantasies suffice
+            return base_H - H_f
+
+        vals = jax.vmap(one_candidate, in_axes=(1, 0, 0))(cov_zx, sy, mu_x)
+        return vals[:, None]
+
+    def device_args(self):
+        if self._state is None:
+            self._update_representers()
+        return None, None, None, self._state
+
+    def optimize(self, duplicate_manager=None):
+        # refresh representer points for the current posterior before each argmax
+        self._update_representers()
+        return super().optimize(duplicate_manager=duplicate_manager)

@@ -146,16 +146,22 @@ class AcquisitionOptimizer:
         order = np.argsort(scores)
         anchors = Xm[order[: self.num_anchor]]
 
-        # 2) vmapped multi-start L-BFGS in the box (context dims collapsed)
+        # 2) vmapped multi-start L-BFGS in the box (context dims collapsed).
+        #    Gradient-free acquisitions (e.g. MC entropy search, whose argmin counts
+        #    have zero autodiff gradients) skip the local polish: anchors ARE the
+        #    candidates (the sweep covers the box).
         bounds = space.get_bounds()
         lo = np.asarray([b[0] for b in bounds], dtype=float)
         hi = np.asarray([b[1] for b in bounds], dtype=float)
         if cm is not None and cm.context_index:
             lo[cm.context_index] = np.asarray(cm.context_value)
             hi[cm.context_index] = np.asarray(cm.context_value)
-        xs, fs = multistart_jit(gp, post, fmin, state, jnp.asarray(anchors),
-                                jnp.asarray(lo), jnp.asarray(hi))
-        xs = np.asarray(xs)
+        if getattr(acq, "analytical_gradient_prediction", True):
+            xs, fs = multistart_jit(gp, post, fmin, state, jnp.asarray(anchors),
+                                    jnp.asarray(lo), jnp.asarray(hi))
+            xs = np.asarray(xs)
+        else:
+            xs = anchors
 
         # 3) round, re-apply context, re-evaluate, de-duplicate, select
         #    (optimizer.py:130-168 apply_optimizer)

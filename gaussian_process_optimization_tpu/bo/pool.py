@@ -1,0 +1,75 @@
+"""Finite-candidate-pool batch selection — the reference application's pattern
+(run.py:1234-1267 get_configurations): instead of optimizing the acquisition over a
+continuous box, directly evaluate it on a finite pool of feasible configurations,
+and build LP batches by re-scoring the penalized acquisition over the pool with a
+mask of already-picked entries (update_batches/estimate_L driven manually).
+
+TPU-native: the pool scoring is one jitted sweep; the greedy batch loop is k small
+device argmaxes.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .acquisitions import AcquisitionLP
+from .evaluators import estimate_L
+
+
+def score_pool(acquisition, pool_obj, space):
+    """Acquisition values over a pool given in OBJECTIVE space. Returns
+    minimize-convention scores (lower = better), infeasible entries +inf."""
+    Xm = space.unzip_inputs(pool_obj)
+    gp, post, fmin, state = acquisition.device_args()
+    scores = np.asarray(
+        acquisition.pure_neg_acq(gp, post, fmin, state, jnp.asarray(Xm, dtype=float))
+    )
+    if space.has_constraints():
+        ind = space.indicator_constraints(Xm).flatten()
+        scores = np.where(ind == 1, scores, np.inf)
+    return scores, Xm
+
+
+def suggest_from_pool(acquisition, pool_obj, space, batch_size=1, exclude_mask=None):
+    """Pick `batch_size` pool entries: first by plain acquisition argmax over the
+    pool, then (for LP acquisitions) re-scoring the penalized acquisition after each
+    pick (run.py:1243-1263). Returns (indices, X_objective rows)."""
+    pool_obj = np.atleast_2d(np.asarray(pool_obj, dtype=float))
+    n = pool_obj.shape[0]
+    taken = np.zeros(n, dtype=bool) if exclude_mask is None else np.asarray(
+        exclude_mask, dtype=bool
+    ).copy()
+
+    is_lp = isinstance(acquisition, AcquisitionLP)
+    if is_lp:
+        acquisition.update_batches(None, None, None)
+
+    scores, Xm = score_pool(acquisition, pool_obj, space)
+    picks = []
+    X_batch = None
+    L = Min = None
+    for k in range(batch_size):
+        s = np.where(taken, np.inf, scores)
+        idx = int(np.argmin(s))
+        if not np.isfinite(s[idx]):
+            break
+        picks.append(idx)
+        taken[idx] = True
+        if is_lp and k + 1 < batch_size:
+            if L is None:
+                L = estimate_L(acquisition.model, space.get_bounds())
+                Min = acquisition.model.Y_min()
+            X_batch = Xm[picks]
+            acquisition.update_batches(X_batch, L, Min)
+            scores, _ = score_pool(acquisition, pool_obj, space)
+    if is_lp:
+        acquisition.update_batches(None, None, None)
+    return np.asarray(picks, dtype=int), pool_obj[picks]
+
+
+def metamodel_rmse(model, X_test, Y_test):
+    """Surrogate-only prediction quality (run.py predict_using_metamodel:1322-1361):
+    RMSE of the posterior mean against held-out objective values."""
+    mu, _ = model.predict(np.atleast_2d(X_test))
+    err = np.asarray(mu).flatten() - np.asarray(Y_test).flatten()
+    return float(np.sqrt(np.mean(err**2)))
