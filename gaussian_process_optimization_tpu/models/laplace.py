@@ -1,0 +1,126 @@
+"""Laplace approximation for non-Gaussian likelihoods.
+
+Rebuild of ``GPy/GPy/inference/latent_function_inference/laplace.py:122`` (502 LoC of
+hand-derived mode finding + gradients) as the standard GPML Algorithm 3.1 Newton
+iteration in the numerically stable W^1/2 parameterization, written as a jit-safe
+``lax.while_loop``; all LML gradients come from autodiff through the converged mode
+(implicit-function differentiation is approximated by iterating to tight tolerance —
+the fixed point makes dL/dtheta through the last iteration exact to first order).
+
+GPClassification (GPy/GPy/models/gp_classification.py) = GP + Bernoulli + Laplace.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import config
+from ..kernels.base import Kernel
+from ..kernels.stationary import RBF
+from ..ops import linalg
+from ..utils.pytree import pytree_dataclass, static_field
+from .likelihoods import Bernoulli, Likelihood
+
+
+@pytree_dataclass
+class LaplacePosterior:
+    f_hat: jnp.ndarray = None
+    W: jnp.ndarray = None
+    L: jnp.ndarray = None  # chol(I + W^1/2 K W^1/2)
+    grad: jnp.ndarray = None  # dlogp(y|f_hat)
+    lml: jnp.ndarray = None
+
+
+def laplace_inference(K, y, likelihood: Likelihood, maxiter=50, tol=1e-9):
+    """GPML Alg 3.1: find the mode of p(y|f) N(f; 0, K), return LaplacePosterior."""
+    n = K.shape[0]
+    eye = jnp.eye(n, dtype=K.dtype)
+
+    def objective(f):
+        return jnp.sum(likelihood.logpdf(f, y)) - 0.5 * jnp.dot(
+            f, jnp.linalg.solve(K + 1e-10 * eye, f)
+        )
+
+    def newton(f):
+        W = -likelihood.d2logpdf_df2(f, y)
+        W = jnp.maximum(W, 1e-12)
+        sW = jnp.sqrt(W)
+        B = eye + sW[:, None] * K * sW[None, :]
+        L, _, _ = linalg.jitchol(B)
+        b = W * f + likelihood.dlogpdf_df(f, y)
+        tmp = linalg.cho_solve(L, (sW * (K @ b))[:, None])[:, 0]
+        a = b - sW * tmp
+        f_new = K @ a
+        return f_new, a, W, sW, L
+
+    def cond(state):
+        it, f, _, diff = state
+        return jnp.logical_and(it < maxiter, diff > tol)
+
+    def body(state):
+        it, f, _, _ = state
+        f_new, a, _, _, _ = newton(f)
+        return it + 1, f_new, a, jnp.max(jnp.abs(f_new - f))
+
+    f0 = jnp.zeros(n, dtype=K.dtype)
+    _, f_hat, a, _ = lax.while_loop(cond, body, (0, f0, f0, jnp.asarray(jnp.inf, K.dtype)))
+    # one final factorization at the converged mode
+    f_hat, a, W, sW, L = newton(f_hat)
+    lml = (
+        -0.5 * jnp.dot(a, f_hat)
+        + jnp.sum(likelihood.logpdf(f_hat, y))
+        - jnp.sum(jnp.log(jnp.diagonal(L)))
+    )
+    return LaplacePosterior(f_hat=f_hat, W=W, L=L,
+                            grad=likelihood.dlogpdf_df(f_hat, y), lml=lml)
+
+
+@pytree_dataclass
+class GPLaplace:
+    """GP with a non-Gaussian likelihood via Laplace (reference: GPy.core.GP with
+    inference_method=Laplace; classification default, gp_classification.py)."""
+
+    kern: Kernel = None
+    likelihood: Likelihood = None
+    X: jnp.ndarray = None
+    Y: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, X, Y, kernel=None, likelihood=None):
+        X = jnp.atleast_2d(jnp.asarray(X, dtype=float))
+        Y = jnp.asarray(Y, dtype=float).reshape(-1)
+        if kernel is None:
+            kernel = RBF.create(X.shape[1])
+        if likelihood is None:
+            likelihood = Bernoulli()
+        return cls(kern=kernel, likelihood=likelihood, X=X, Y=Y)
+
+    def inference(self) -> LaplacePosterior:
+        K = self.kern.K(self.X)
+        return laplace_inference(K, self.Y, self.likelihood)
+
+    def log_marginal_likelihood(self):
+        return self.inference().lml
+
+    def _raw_predict(self, Xnew, posterior: LaplacePosterior | None = None):
+        post = posterior if posterior is not None else self.inference()
+        Ks = self.kern.K(self.X, jnp.atleast_2d(Xnew))
+        mu = Ks.T @ post.grad
+        sW = jnp.sqrt(post.W)
+        v = linalg.solve_lower(post.L, sW[:, None] * Ks)
+        var = jnp.clip(self.kern.Kdiag(jnp.atleast_2d(Xnew)) - jnp.sum(jnp.square(v), 0),
+                       1e-15, None)
+        return mu, var
+
+    def predict(self, Xnew, posterior: LaplacePosterior | None = None):
+        """Predictive mean/variance of y* (pushes the latent through the likelihood
+        by quadrature — GPy likelihood.predictive_values)."""
+        mu, var = self._raw_predict(Xnew, posterior)
+        return self.likelihood.predictive(mu, var)
+
+    def predict_latent(self, Xnew):
+        return self._raw_predict(Xnew)
+
+
+GPClassification = GPLaplace  # Bernoulli default == GPy GPClassification
