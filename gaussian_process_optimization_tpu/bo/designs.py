@@ -45,7 +45,15 @@ def _scale_to_bounds(unit, bounds):
 def _lhs_unit(n, d, rng, criterion="center", iterations=20):
     """Latin hypercube in [0,1]^d. 'center': midpoints of stratified intervals
     (pyDOE lhs(criterion='center')); 'maximin': best of `iterations` random-centered
-    designs by min pairwise distance (pyDOE criterion='maximin')."""
+    designs by min pairwise distance (pyDOE criterion='maximin').
+
+    The maximin search loop runs in the native C++ engine when available
+    (csrc/gpo_native.cpp maximin_lhs) — it is O(iterations * n^2 * d) host work."""
+    if criterion == "maximin":
+        from ..utils import native
+
+        if native.available():
+            return native.maximin_lhs(n, d, iterations, rng.integers(2**62))
     def one(center=True):
         cut = np.linspace(0, 1, n + 1)
         lo, hi = cut[:-1], cut[1:]
@@ -150,22 +158,33 @@ def latin_mixed_design(space, n, seed=None, iterations=None, verbose=False):
                     return False
             return True
 
-        H = None
-        for _retry in range(10):
-            maxdist = 0.0
-            for _ in range(iterations):
-                # stratified interval-start values, permuted per dim (:45-51)
-                starts = np.linspace(0, 1, n, endpoint=False)
-                Hc = np.stack([starts[rng.permutation(n)] for _ in ddims], axis=1)
-                d = np.linalg.norm(Hc[:, None, :] - Hc[None, :, :], axis=-1)
-                dmin = np.min(d + np.eye(n) * 1e9)
-                if maxdist < dmin and representation_ok(Hc):
-                    maxdist = dmin
-                    H = Hc.copy()
-            if H is not None:
-                break
-        if H is None:  # give up on representation, use the last candidate
-            H = Hc
+        from ..utils import native
+
+        if native.available():
+            # native search loop (csrc/gpo_native.cpp discrete_lhs): same algorithm —
+            # stratified starts, representation check >= floor(0.8 n / levels),
+            # maximize min pairwise distance, 10 retries
+            H, _ok = native.discrete_lhs(
+                n, [len(v) for v in discrete_values], iterations, 10, 0.8,
+                rng.integers(2**62),
+            )
+        else:
+            H = None
+            for _retry in range(10):
+                maxdist = 0.0
+                for _ in range(iterations):
+                    # stratified interval-start values, permuted per dim (:45-51)
+                    starts = np.linspace(0, 1, n, endpoint=False)
+                    Hc = np.stack([starts[rng.permutation(n)] for _ in ddims], axis=1)
+                    d = np.linalg.norm(Hc[:, None, :] - Hc[None, :, :], axis=-1)
+                    dmin = np.min(d + np.eye(n) * 1e9)
+                    if maxdist < dmin and representation_ok(Hc):
+                        maxdist = dmin
+                        H = Hc.copy()
+                if H is not None:
+                    break
+            if H is None:  # give up on representation, use the last candidate
+                H = Hc
         samples[:, ddims] = map_levels(H)
 
     # categorical / bandit columns fall back to random fill
@@ -193,15 +212,22 @@ def sobol_design(space, n, seed=None):
     _fill_noncontinuous(space, samples, rng)
     cdims = space.get_continuous_dims()
     if cdims:
-        import warnings
+        from ..utils import native
 
-        from scipy.stats import qmc
+        unit = None
+        if native.available() and len(cdims) <= 16:
+            unit = native.sobol_points(n, len(cdims))
+        if unit is None:
+            import warnings
 
-        with warnings.catch_warnings():
-            # n need not be a power of 2 for design purposes (reference uses plain
-            # i4_sobol_generate the same way)
-            warnings.simplefilter("ignore", UserWarning)
-            unit = qmc.Sobol(len(cdims), scramble=False, rng=np.random.default_rng(0)).random(n)
+            from scipy.stats import qmc
+
+            with warnings.catch_warnings():
+                # n need not be a power of 2 for design purposes (reference uses
+                # plain i4_sobol_generate the same way)
+                warnings.simplefilter("ignore", UserWarning)
+                unit = qmc.Sobol(len(cdims), scramble=False,
+                                 rng=np.random.default_rng(0)).random(n)
         samples[:, cdims] = _scale_to_bounds(unit, space.get_continuous_bounds())
     return samples
 

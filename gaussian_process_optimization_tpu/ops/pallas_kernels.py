@@ -1,15 +1,183 @@
 """Pallas TPU kernels for the covariance hot path.
 
-Stub for now: the pure-XLA path (matmul distance trick + fused elementwise) is the
-reference implementation; the fused tile kernels land here with consistency tests
-mirroring the reference's cython-vs-numpy tests (GPy/GPy/testing/cython_tests.py:26-45).
+The reference's native hot loops (``GPy/GPy/kern/src/stationary_cython.pyx`` +
+``stationary_utils.c`` — OpenMP distance/gradient contractions) become:
+
+- forward: a fused tiled K(X, X2) build. Each (TN, TM) tile computes squared
+  distances by the explicit per-dimension difference route on the VPU — unlike the
+  -2*X@X2^T matmul trick this has NO cancellation, so it runs in plain f32 without
+  the 6-pass HIGHEST matmul workaround — and applies K_of_r in-register before one
+  store to HBM (nothing intermediate is materialized).
+- backward: a custom VJP whose contractions (dL/dX, ARD lengthscale grads — exactly
+  the ``_grad_X`` / ``_lengthscale_grads`` loops of stationary_utils.c:1-31) are
+  einsums the MXU executes directly.
+
+Consistency tests vs the jnp path mirror the reference's cython-vs-numpy tests
+(GPy/GPy/testing/cython_tests.py:26-45). Enabled via config.use_pallas ('auto' = on
+TPU); interpret mode (config.pallas_interpret) runs the same kernels on CPU for
+testing.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config, pallas_enabled
+
+_FAMILIES = ("rbf", "exponential", "ou", "matern32", "matern52", "cosine", "ratquad")
+
+_TN = 256
+_TM = 256
+_MAX_D = 64
+
+
+def _k_of_r(family, r, variance, power=None):
+    if family == "rbf":
+        return variance * jnp.exp(-0.5 * r * r)
+    if family == "exponential":
+        return variance * jnp.exp(-0.5 * r)
+    if family == "ou":
+        return variance * jnp.exp(-r)
+    if family == "matern32":
+        s3 = jnp.sqrt(3.0)
+        return variance * (1.0 + s3 * r) * jnp.exp(-s3 * r)
+    if family == "matern52":
+        s5 = jnp.sqrt(5.0)
+        return variance * (1.0 + s5 * r + (5.0 / 3.0) * r * r) * jnp.exp(-s5 * r)
+    if family == "cosine":
+        return variance * jnp.cos(r)
+    if family == "ratquad":
+        return variance * jnp.exp(-power * jnp.log1p(0.5 * r * r))
+    raise ValueError(family)
+
+
+def _make_tile_kernel(family, d, ard):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    def kernel(x_ref, z_ref, p_ref, o_ref):
+        x = x_ref[:]  # (TN, d)
+        z = z_ref[:]  # (TM, d)
+        variance = p_ref[0, 0]
+        power = p_ref[0, 1]
+        r2 = jnp.zeros((x.shape[0], z.shape[0]), dtype=x.dtype)
+        for k in range(d):
+            dx = x[:, k][:, None] - z[:, k][None, :]
+            if ard:
+                dx = dx / p_ref[0, 2 + k]
+            r2 = r2 + dx * dx
+        if not ard:
+            r2 = r2 / (p_ref[0, 2] * p_ref[0, 2])
+        r = jnp.sqrt(jnp.maximum(r2, 0.0))
+        o_ref[:] = _k_of_r(family, r, variance, power)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("family", "d", "ard", "interpret")
+)
+def _pallas_K(X, Z, params, family, d, ard, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, m = X.shape[0], Z.shape[0]
+    grid = (pl.cdiv(n, _TN), pl.cdiv(m, _TM))
+    kernel = _make_tile_kernel(family, d, ard)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, m), X.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TN, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, params.shape[1]), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, _TM), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(X, Z, params)
+
 
 def supports(kern, X, X2) -> bool:
-    return False
+    """Pallas path eligibility: stationary family, f32, dims within VMEM budget."""
+    fam = getattr(kern, "_family", None)
+    if fam not in _FAMILIES:
+        return False
+    if not (pallas_enabled() or config.pallas_interpret):
+        return False
+    if X.dtype != jnp.float32:
+        return False
+    d = X.shape[-1]
+    if d > _MAX_D:
+        return False
+    n = X.shape[0]
+    m = n if X2 is None else X2.shape[0]
+    # tiny problems aren't worth a kernel launch; padding waste bounded
+    return n * m >= 128 * 128
 
 
-def stationary_K(kern, X, X2):  # pragma: no cover - not reachable while supports()=False
-    raise NotImplementedError
+def _params_row(kern, d, ard):
+    variance = kern.variance.reshape(())
+    power = getattr(kern, "power", None)
+    power = jnp.asarray(0.0, variance.dtype) if power is None else power.reshape(())
+    if ard:
+        ls = kern.lengthscale.reshape(-1)
+    else:
+        ls = kern.lengthscale.reshape(-1)[:1]
+    row = jnp.concatenate([variance[None], power[None], ls])
+    pad = 2 + (d if ard else 1)
+    row = row[:pad]
+    # pad the row to a lane-friendly width
+    width = max(pad, 8)
+    row = jnp.pad(row, (0, width - row.shape[0]))
+    return row[None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _K_entry(X, Z, kern, meta):
+    family, d, ard = meta
+    params = _params_row(kern, d, ard)
+    n, m = X.shape[0], Z.shape[0]
+    n_pad = -(-n // _TN) * _TN
+    m_pad = -(-m // _TM) * _TM
+    Xp = jnp.pad(X, ((0, n_pad - n), (0, 0)))
+    Zp = jnp.pad(Z, ((0, m_pad - m), (0, 0)))
+    K = _pallas_K(Xp, Zp, params, family, d, ard, config.pallas_interpret)
+    return K[:n, :m]
+
+
+def _K_fwd(X, Z, kern, meta):
+    return _K_entry(X, Z, kern, meta), (X, Z, kern)
+
+
+def _K_bwd(meta, res, G):
+    """Backward pass: the stationary_utils.c contractions as jnp einsums.
+    Differentiates the jnp reference implementation (identical math)."""
+    X, Z, kern = res
+
+    def ref(X_, Z_, kern_):
+        r = kern_._scaled_dist(X_, Z_)
+        return kern_.K_of_r(r)
+
+    _, vjp = jax.vjp(ref, X, Z, kern)
+    dX, dZ, dkern = vjp(G)
+    return dX, dZ, dkern
+
+
+_K_entry.defvjp(_K_fwd, _K_bwd)
+
+
+def stationary_K(kern, X, X2):
+    d = X.shape[-1]
+    ard = kern.lengthscale.ndim > 0 and kern.lengthscale.shape[-1] > 1
+    Z = X if X2 is None else X2
+    meta = (kern._family, int(d), bool(ard))
+    K = _K_entry(X, Z, kern, meta)
+    if X2 is None:
+        # exact symmetry + exact-zero diagonal distances (match the jnp path)
+        K = 0.5 * (K + K.T)
+    return K
