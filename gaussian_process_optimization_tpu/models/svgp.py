@@ -31,9 +31,13 @@ class SVGP:
     q_mu: jnp.ndarray = None  # (M, P) whitened mean
     q_sqrt_flat: jnp.ndarray = None  # (M(M+1)/2, P) packed whitened chol
     num_data: int = 0  # static via pytree? keep as array for safety
+    # optional non-Gaussian likelihood (GPy SVGP works with any likelihood via
+    # quadrature, core/svgp.py); None -> closed-form Gaussian ELL
+    likelihood: object = None
 
     @classmethod
-    def create(cls, X, Y, kernel=None, num_inducing=20, Z=None, noise_var=0.1, seed=0):
+    def create(cls, X, Y, kernel=None, num_inducing=20, Z=None, noise_var=0.1, seed=0,
+               likelihood=None):
         import numpy as np
 
         X = np.atleast_2d(np.asarray(X, dtype=float))
@@ -54,6 +58,7 @@ class SVGP:
             q_mu=jnp.zeros((m, p)),
             q_sqrt_flat=eye_flat,
             num_data=jnp.asarray(float(n)),
+            likelihood=likelihood,
         )
 
     # ------------------------------------------------------------------ math
@@ -90,13 +95,27 @@ class SVGP:
         )
         return mu, jnp.clip(var, 1e-15, None)
 
+    def _expected_log_lik(self, Y_batch, mu, var):
+        """E_q[log p(y|f)]: closed form for Gaussian, Gauss-Hermite otherwise
+        (the reference's quadrature fallback, likelihoods/likelihood.py)."""
+        if self.likelihood is None:
+            sigma2 = self.likelihood_variance + config.noise_jitter
+            return -0.5 * (LOG_2_PI + jnp.log(sigma2)) - 0.5 * (
+                jnp.square(Y_batch - mu) + var
+            ) / sigma2
+        import numpy as np
+
+        gh_x, gh_w = np.polynomial.hermite.hermgauss(20)
+        gh_x = jnp.asarray(gh_x, dtype=mu.dtype)
+        gh_w = jnp.asarray(gh_w, dtype=mu.dtype) / jnp.sqrt(jnp.pi)
+        f = mu[..., None] + jnp.sqrt(2.0 * var[..., None]) * gh_x
+        lp = self.likelihood.logpdf(f, Y_batch[..., None])
+        return jnp.sum(gh_w * lp, axis=-1)
+
     def elbo(self, X_batch, Y_batch, batch_mask=None):
-        """Minibatch evidence lower bound (Gaussian likelihood, closed form)."""
-        sigma2 = self.likelihood_variance + config.noise_jitter
+        """Minibatch evidence lower bound."""
         mu, var = self._predict_f(X_batch)
-        ell = -0.5 * (LOG_2_PI + jnp.log(sigma2)) - 0.5 * (
-            jnp.square(Y_batch - mu) + var
-        ) / sigma2
+        ell = self._expected_log_lik(Y_batch, mu, var)
         if batch_mask is not None:
             ell = ell * batch_mask[:, None]
             b = jnp.sum(batch_mask)
@@ -112,6 +131,9 @@ class SVGP:
     def predict(self, Xnew, include_likelihood=True, full_cov=False):
         mu, var = self._predict_f(jnp.atleast_2d(Xnew), full_cov=full_cov)
         if include_likelihood:
+            if self.likelihood is not None and not full_cov:
+                ey, vy = self.likelihood.predictive(mu[:, 0], var[:, 0])
+                return ey[:, None], vy[:, None]
             if full_cov:
                 var = var + self.likelihood_variance * jnp.eye(var.shape[0])
             else:
