@@ -247,6 +247,14 @@ class GPRegression:
             noise_std = noise_std * self.normalizer.std.reshape(-1)[0]
         return f + noise_std * jax.random.normal(key_n, f.shape, dtype=f.dtype)
 
+    def plot(self, bounds=None, filename=None, resolution=200, n_samples=0,
+             key=None, title=None):
+        """Posterior plot (GPy's injected m.plot(), plotting/gpy_plot)."""
+        from ..utils.plotting import plot_gp
+
+        return plot_gp(self, bounds=bounds, filename=filename, resolution=resolution,
+                       n_samples=n_samples, key=key, title=title)
+
     def log_likelihood_LOO(self):
         """Leave-one-out predictive density (exact_gaussian_inference.py LOO:77)."""
         post = self.inference()

@@ -66,6 +66,66 @@ def plot_acquisition(bounds, input_dim, model, Xdata, Ydata, acquisition_functio
     return True
 
 
+def plot_gp(model, bounds=None, filename=None, resolution=200, n_samples=0,
+            key=None, title=None):
+    """GP posterior plot: mean + 95% band + data (+ optional posterior samples) —
+    the functional equivalent of GPy's injected m.plot() family
+    (GPy/GPy/plotting/gpy_plot, inject_plotting:41). 1-D and 2-D inputs."""
+    plt = _plt()
+    X = np.asarray(model.X)
+    Y = np.asarray(model.Y)
+    if getattr(model, "mask", None) is not None:
+        keep = np.asarray(model.mask) > 0
+        X, Y = X[keep], Y[keep]
+    d = X.shape[1]
+    if bounds is None:
+        lo, hi = X.min(0), X.max(0)
+        pad = 0.1 * (hi - lo + 1e-9)
+        bounds = list(zip(lo - pad, hi + pad))
+    if d == 1:
+        xs = np.linspace(bounds[0][0], bounds[0][1], resolution)[:, None]
+        import jax.numpy as jnp
+
+        mu, var = model.predict(jnp.asarray(xs))
+        mu, sd = np.asarray(mu)[:, 0], np.sqrt(np.asarray(var))[:, 0]
+        fig, ax = plt.subplots(figsize=(8, 5))
+        ax.plot(xs[:, 0], mu, "b-", label="mean")
+        ax.fill_between(xs[:, 0], mu - 1.96 * sd, mu + 1.96 * sd, alpha=0.25,
+                        label="95% CI")
+        if n_samples:
+            import jax
+
+            key = key if key is not None else jax.random.PRNGKey(0)
+            S = np.asarray(model.posterior_samples_f(jnp.asarray(xs), n_samples, key))
+            ax.plot(xs[:, 0], S, lw=0.6, alpha=0.6)
+        ax.plot(X[:, 0], Y[:, 0], "kx", markersize=8, label="data")
+        ax.legend(loc="best")
+    elif d == 2:
+        import jax.numpy as jnp
+
+        n = 60
+        g1 = np.linspace(bounds[0][0], bounds[0][1], n)
+        g2 = np.linspace(bounds[1][0], bounds[1][1], n)
+        G1, G2 = np.meshgrid(g1, g2)
+        grid = np.stack([G1.ravel(), G2.ravel()], 1)
+        mu, var = model.predict(jnp.asarray(grid))
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.5))
+        for ax, v, t in [(ax1, np.asarray(mu)[:, 0], "posterior mean"),
+                         (ax2, np.sqrt(np.asarray(var))[:, 0], "posterior std")]:
+            c = ax.contourf(G1, G2, v.reshape(n, n), 30)
+            ax.plot(X[:, 0], X[:, 1], "kx")
+            ax.set_title(t)
+            fig.colorbar(c, ax=ax)
+    else:
+        raise ValueError("plot_gp supports 1-D and 2-D inputs")
+    if title:
+        plt.suptitle(title)
+    if filename is not None:
+        plt.savefig(filename, bbox_inches="tight")
+        plt.close("all")
+    return True
+
+
 def plot_convergence(Xdata, best_Y, filename=None):
     """Distance between consecutive x's and best-Y curve (plots_bo.py
     plot_convergence)."""

@@ -1,0 +1,37 @@
+"""Smoke-run the examples gallery (the reference's examples_tests.py genre)."""
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def test_forrester_gp_example(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from examples import forrester_gp
+
+    model = forrester_gp.main(n=12, plot=True, out=str(tmp_path / "f.png"))
+    assert (tmp_path / "f.png").exists()
+    assert float(model.kern.lengthscale) > 0
+
+
+def test_branin_bo_example(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from examples import branin_bo
+
+    bo = branin_bo.main(max_iter=3, plot=False)
+    assert bo.Y.shape[0] == 8
+
+
+def test_mixed_design_example(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from examples import mixed_design_batch
+
+    X, Y = mixed_design_batch.main(iterations=1, batch=2,
+                                   state_file=str(tmp_path / "st.npz"))
+    assert X.shape[0] == 14  # 12 init + 2 batch
+    # resume path
+    X2, Y2 = mixed_design_batch.main(iterations=1, batch=2,
+                                     state_file=str(tmp_path / "st.npz"))
+    assert X2.shape[0] >= 14
