@@ -217,7 +217,19 @@ class AcquisitionOptimizer:
 
         candidates = []
         for a in anchors:
-            if f_df is not None:
+            if self.optimizer_name == "DIRECT":
+                # (optimizer.py OptDirect:64) — anchor-independent global search
+                from ..ops.direct import direct_minimize
+
+                x, fx = direct_minimize(lambda X: np.asarray(f(X)).flatten(), lo, hi,
+                                        max_evals=min(4 * self.maxiter, 1000))
+            elif self.optimizer_name == "CMA":
+                # (optimizer.py OptCma:97)
+                from ..ops.cmaes import cma_minimize
+
+                x, fx = cma_minimize(lambda X: np.asarray(f(X)).flatten(), a, lo, hi,
+                                     max_evals=min(4 * self.maxiter, 1000))
+            elif f_df is not None:
                 func = lambda x: tuple(
                     np.asarray(v).flatten()[0] if i == 0 else np.asarray(v).flatten()
                     for i, v in enumerate(f_df(np.atleast_2d(x)))
@@ -226,13 +238,14 @@ class AcquisitionOptimizer:
                     func, a, method="L-BFGS-B", jac=True,
                     bounds=list(zip(lo, hi)), options={"maxiter": self.maxiter},
                 )
+                x = res.x if np.isfinite(res.fun) else a  # ABNORMAL fallback (:54-56)
             else:
                 res = scipy.optimize.minimize(
                     lambda x: float(np.asarray(f(np.atleast_2d(x))).flatten()[0]),
                     a, method="L-BFGS-B", bounds=list(zip(lo, hi)),
                     options={"maxiter": self.maxiter},
                 )
-            x = res.x if np.isfinite(res.fun) else a  # ABNORMAL fallback (:54-56)
+                x = res.x if np.isfinite(res.fun) else a  # ABNORMAL fallback (:54-56)
             xr = space.round_optimum(x)[0]
             if cm is not None and cm.context_index:
                 xr[cm.context_index] = np.asarray(cm.context_value)

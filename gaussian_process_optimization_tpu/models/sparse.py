@@ -45,7 +45,9 @@ class SparseGPRegression:
     Y: jnp.ndarray = None
     mask: jnp.ndarray = None
     normalizer: Standardize = None
-    inference: str = static_field(default="vardtc")  # 'vardtc' | 'fitc' | 'dtc'
+    inference: str = static_field(default="vardtc")  # 'vardtc' | 'fitc' | 'dtc' | 'pep'
+    # power-EP interpolation parameter (pep.py; alpha->1 FITC, alpha->0 VarDTC)
+    pep_alpha: float = static_field(default=0.5)
 
     @classmethod
     def create(cls, X, Y, kernel=None, num_inducing=10, Z=None, noise_var=1.0,
@@ -114,11 +116,15 @@ class SparseGPRegression:
         m = self.Z.shape[0]
         p = Yc.shape[1]
 
-        if self.inference == "fitc":
-            # FITC: heteroscedastic diag  beta_n = 1/(sigma2 + Kdiag_n - Qnn_n)
+        if self.inference in ("fitc", "pep"):
+            # FITC: heteroscedastic diag  beta_n = 1/(sigma2 + Kdiag_n - Qnn_n).
+            # PEP (GPy pep.py, Bui et al. 2017): the power-EP collapsed bound
+            # interpolates FITC (alpha=1) and VarDTC (alpha->0): the diagonal
+            # correction is scaled by alpha and a log-penalty term is added.
             qnn = jnp.sum(jnp.square(A), axis=0)
             g = jnp.maximum(Kdiag - qnn, 0.0)
-            lam = sigma2 + g
+            alpha_pep = 1.0 if self.inference == "fitc" else float(self.pep_alpha)
+            lam = sigma2 + alpha_pep * g
             if self.mask is not None:
                 lam = jnp.where(self.mask > 0, lam, 1.0)
             beta = 1.0 / lam
@@ -135,6 +141,11 @@ class SparseGPRegression:
                 - 0.5 * jnp.sum(jnp.square(Yc) * beta[:, None])
                 + 0.5 * jnp.sum(jnp.square(c))
             )
+            if self.inference == "pep":
+                # -(1-a)/(2a) sum log(1 + a g / sigma2)  (the PEP entropy penalty)
+                lml = lml - 0.5 * (1.0 - alpha_pep) / alpha_pep * p * jnp.sum(
+                    jnp.log1p(alpha_pep * g / sigma2) * mask_term
+                )
             return SparsePosterior(Lm=Lm, LB=LB, c=c, lml=lml, ok=ok & okB)
 
         # VarDTC / DTC share the homoscedastic factorization
