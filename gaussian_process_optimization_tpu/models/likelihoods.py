@@ -173,6 +173,83 @@ class StudentT(Likelihood):
 
 
 @pytree_dataclass
+class Binomial(Likelihood):
+    """Binomial with probit link (GPy likelihoods/binomial.py): y successes out of
+    `trials` with p = Phi(f)."""
+
+    trials: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, trials):
+        return cls(trials=jnp.asarray(trials, dtype=float).reshape(-1))
+
+    def _p(self, f):
+        return jnp.clip(0.5 * erfc(-f / jnp.sqrt(2.0)), 1e-9, 1 - 1e-9)
+
+    def _n(self, f):
+        # trials is per-datapoint; broadcast over trailing (e.g. quadrature) axes
+        return self.trials.reshape((-1,) + (1,) * (f.ndim - 1))
+
+    def logpdf(self, f, y):
+        n = self._n(f)
+        p = self._p(f)
+        return (
+            gammaln(n + 1) - gammaln(y + 1) - gammaln(n - y + 1)
+            + y * jnp.log(p) + (n - y) * jnp.log1p(-p)
+        )
+
+    def conditional_mean(self, f):
+        return self._n(f) * self._p(f)
+
+    def conditional_variance(self, f):
+        p = self._p(f)
+        return self._n(f) * p * (1 - p)
+
+
+@pytree_dataclass
+class GammaLik(Likelihood):
+    """Gamma with exp link and fixed shape beta (GPy likelihoods/gamma.py):
+    y ~ Gamma(shape=beta, rate=beta*exp(-f)) so E[y] = exp(f)."""
+
+    beta: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, beta=1.0):
+        return cls(beta=jnp.asarray(beta, dtype=float).reshape(()))
+
+    def logpdf(self, f, y):
+        b = self.beta
+        rate = b * jnp.exp(-f)
+        return b * jnp.log(rate) - gammaln(b) + (b - 1) * jnp.log(y) - rate * y
+
+    def conditional_mean(self, f):
+        return jnp.exp(f)
+
+    def conditional_variance(self, f):
+        return jnp.exp(2 * f) / self.beta
+
+
+@pytree_dataclass
+class ExponentialLik(Likelihood):
+    """Exponential with exp link (GPy likelihoods/exponential.py): rate exp(-f)."""
+
+    def logpdf(self, f, y):
+        return -f - y * jnp.exp(-f)
+
+    def dlogpdf_df(self, f, y):
+        return -1.0 + y * jnp.exp(-f)
+
+    def d2logpdf_df2(self, f, y):
+        return -y * jnp.exp(-f)
+
+    def conditional_mean(self, f):
+        return jnp.exp(f)
+
+    def conditional_variance(self, f):
+        return jnp.exp(2 * f)
+
+
+@pytree_dataclass
 class HeteroscedasticGaussian(Likelihood):
     """Per-point noise variances (GPy likelihoods/gaussian.py HeteroscedasticGaussian:347)."""
 
