@@ -136,18 +136,27 @@ class GPRegression:
 
     def _effective_noise(self, dtype):
         """sigma^2 + 1e-8 (exact_gaussian_inference.py:52), with an f32-only floor
-        relative to the kernel variance scale (see config.f32_noise_floor)."""
+        relative to the kernel variance scale (see config.f32_noise_floor).
+        A vector likelihood_variance (N,) gives the heteroscedastic model
+        (GPy HeteroscedasticGPRegression / likelihoods/gaussian.py:347)."""
         noise = self.likelihood_variance + config.noise_jitter
         if dtype == jnp.float32:
             noise = jnp.maximum(noise, config.f32_noise_floor)
         return noise
+
+    def _noise_at_test(self):
+        """Likelihood variance added at test points: scalar noise directly; for the
+        heteroscedastic model the mean of the per-point variances."""
+        v = self.likelihood_variance
+        return jnp.mean(v) if v.ndim > 0 else v
 
     def inference(self) -> Posterior:
         """Exact Gaussian inference (exact_gaussian_inference.py:37-75)."""
         Yc = self._normalized_Y()
         K = self.kern.K(self.X)
         n = self.X.shape[0]
-        Ky = K + self._effective_noise(K.dtype) * jnp.eye(n, dtype=K.dtype)
+        noise = self._effective_noise(K.dtype)
+        Ky = K + jnp.diag(jnp.broadcast_to(noise, (n,)).astype(K.dtype))
         Ky = linalg.masked_gram(Ky, self.mask)
         L, jitter, ok = linalg.jitchol(Ky)
         alpha = linalg.cho_solve(L, Yc)
@@ -188,10 +197,11 @@ class GPRegression:
         (GPy gp.py:297 + likelihoods/gaussian.py:102)."""
         mu, var = self._raw_predict(Xnew, full_cov=full_cov, posterior=posterior)
         if include_likelihood:
+            noise = self._noise_at_test()
             if full_cov:
-                var = var + self.likelihood_variance * jnp.eye(var.shape[0], dtype=var.dtype)
+                var = var + noise * jnp.eye(var.shape[0], dtype=var.dtype)
             else:
-                var = var + self.likelihood_variance
+                var = var + noise
         if self.normalizer is not None:
             mu = self.normalizer.inverse_mean(mu)
             if full_cov:
@@ -242,7 +252,7 @@ class GPRegression:
         """Samples of noisy observations (GPy gp.py posterior_samples:611)."""
         key_f, key_n = jax.random.split(key)
         f = self.posterior_samples_f(Xnew, size, key_f)
-        noise_std = jnp.sqrt(self.likelihood_variance)
+        noise_std = jnp.sqrt(self._noise_at_test())
         if self.normalizer is not None:
             noise_std = noise_std * self.normalizer.std.reshape(-1)[0]
         return f + noise_std * jax.random.normal(key_n, f.shape, dtype=f.dtype)

@@ -1,0 +1,76 @@
+"""Coregionalized multi-output regression + heteroscedastic exact GP."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gaussian_process_optimization_tpu.kernels as kern
+from gaussian_process_optimization_tpu.models.gp import GPRegression
+from gaussian_process_optimization_tpu.models.multioutput import (
+    GPCoregionalizedRegression,
+    build_stacked_XY,
+    icm_kernel,
+)
+
+
+def test_build_stacked_and_icm(rng):
+    X1 = rng.uniform(0, 1, size=(10, 2))
+    X2 = rng.uniform(0, 1, size=(7, 2))
+    Y1, Y2 = np.sin(X1[:, :1]), np.cos(X2[:, :1])
+    X, Y = build_stacked_XY([X1, X2], [Y1, Y2])
+    assert X.shape == (17, 3) and Y.shape == (17, 1)
+    assert set(np.unique(X[:, 2])) == {0.0, 1.0}
+
+    k = icm_kernel(2, 2, rank=1)
+    K = np.asarray(k.K(jnp.asarray(X)))
+    assert K.shape == (17, 17)
+    ev = np.linalg.eigvalsh(K)
+    assert ev.min() > -1e-8
+
+
+def test_coregionalized_transfer(rng):
+    """Two strongly correlated outputs: the second task's predictions should benefit
+    from the first task's data (the point of coregionalization)."""
+    f = lambda x: np.sin(3 * x)
+    X1 = rng.uniform(0, 2, size=(30, 1))
+    Y1 = f(X1) + 0.05 * rng.standard_normal((30, 1))
+    X2 = rng.uniform(0, 2, size=(4, 1))  # few points for task 2
+    Y2 = f(X2) + 0.6 + 0.05 * rng.standard_normal((4, 1))  # shifted copy
+
+    m = GPCoregionalizedRegression([X1, X2], [Y1, Y2],
+                                   base_kernel=kern.RBF.create(1), noise_var=0.01)
+    m.optimize(num_restarts=2, maxiter=150, key=jax.random.PRNGKey(0))
+    Xs = np.linspace(0.1, 1.9, 12)[:, None]
+    mu2, _ = m.predict(Xs, task=1)
+    rmse = float(np.sqrt(np.mean((np.asarray(mu2) - (f(Xs) + 0.6)) ** 2)))
+    # single-task GP on 4 points for comparison
+    solo = GPRegression.create(X2, Y2, kernel=kern.RBF.create(1), noise_var=0.01)
+    mu_solo, _ = solo.predict(jnp.asarray(Xs))
+    rmse_solo = float(np.sqrt(np.mean((np.asarray(mu_solo) - (f(Xs) + 0.6)) ** 2)))
+    assert rmse < rmse_solo  # transfer helps
+
+
+def test_heteroscedastic_gp(rng):
+    """Vector likelihood_variance = per-point noise (HeteroscedasticGaussian)."""
+    n = 30
+    X = np.linspace(0, 4, n)[:, None]
+    noise = np.where(X[:, 0] > 2, 0.5, 0.01)  # noisy right half
+    Y = np.sin(X) + (np.sqrt(noise) * rng.standard_normal(n))[:, None]
+    k = kern.RBF.create(1, variance=1.0, lengthscale=0.8)
+    m = GPRegression.create(X, Y, kernel=k, noise_var=1.0)
+    import dataclasses
+
+    m = dataclasses.replace(m, likelihood_variance=jnp.asarray(noise))
+    lml = float(m.log_marginal_likelihood())
+    assert np.isfinite(lml)
+    # equal-noise special case matches the scalar model exactly
+    m_eq = dataclasses.replace(m, likelihood_variance=jnp.full(n, 0.05))
+    m_sc = dataclasses.replace(m, likelihood_variance=jnp.asarray(0.05))
+    np.testing.assert_allclose(
+        float(m_eq.log_marginal_likelihood()), float(m_sc.log_marginal_likelihood()),
+        rtol=1e-12,
+    )
+    # posterior should fit the quiet half tighter than the noisy half
+    mu, var = m.predict_noiseless(jnp.asarray(X))
+    err = np.abs(np.asarray(mu) - np.sin(X))
+    assert err[X[:, 0] < 2].mean() < err[X[:, 0] > 2].mean()
