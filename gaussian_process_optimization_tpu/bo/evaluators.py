@@ -136,15 +136,36 @@ class ThompsonBatch(SamplingBasedBatchEvaluator):
                        unique=bool(duplicate_manager), context_manager=context_manager)
 
     def optimize_anchor_point(self, a, duplicate_manager=None, context_manager=None):
-        opt = self.acquisition.optimizer
-        # one-anchor local refinement via the device multistart program
-        saved_ns, saved_na = opt.num_samples, opt.num_anchor
-        x, _ = opt.optimize(
-            f=self.acquisition.acquisition_function,
-            f_df=getattr(self.acquisition, "acquisition_function_withGradients", None),
-            duplicate_manager=duplicate_manager, acquisition=self.acquisition,
-        )
-        opt.num_samples, opt.num_anchor = saved_ns, saved_na
+        """Local L-BFGS from THIS anchor, then round (batch_thompson.py:40-52)."""
+        import jax.numpy as jnp
+
+        from ..ops import lbfgs
+
+        acq = self.acquisition
+        opt = acq.optimizer
+        bounds = self.space.get_bounds()
+        lo = np.asarray([b[0] for b in bounds], dtype=float)
+        hi = np.asarray([b[1] for b in bounds], dtype=float)
+        if context_manager is not None and context_manager.context_index:
+            lo[context_manager.context_index] = np.asarray(context_manager.context_value)
+            hi[context_manager.context_index] = np.asarray(context_manager.context_value)
+        if getattr(acq, "supports_device", False):
+            gp, post, fmin, state = acq.device_args()
+            res = lbfgs.minimize(
+                lambda x: acq.pure_neg_acq(gp, post, fmin, state, x[None, :])[0],
+                jnp.asarray(a, dtype=float), lower=jnp.asarray(lo),
+                upper=jnp.asarray(hi), maxiter=opt.maxiter,
+            )
+            x = np.asarray(res.x)
+        else:
+            import scipy.optimize
+
+            r = scipy.optimize.minimize(
+                lambda x: float(np.asarray(acq.acquisition_function(np.atleast_2d(x))).flatten()[0]),
+                a, method="L-BFGS-B", bounds=list(zip(lo, hi)),
+                options={"maxiter": opt.maxiter},
+            )
+            x = r.x if np.isfinite(r.fun) else a
         return self.space.round_optimum(x)
 
     def compute_batch_without_duplicate_logic(self, context_manager=None):

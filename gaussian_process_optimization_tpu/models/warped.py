@@ -120,14 +120,15 @@ class WarpedGP:
         return mean, jnp.maximum(second - jnp.square(mean), 1e-15)
 
     def predictive_gradients(self, Xnew):
+        """(dmu (M, D, 1), dvar (M, D)) — GPy gp.py:407 shape convention."""
         def mu_var(x):
             m, v = self.predict(x[None, :])
             return m[0, 0], v[0, 0]
 
         Xnew = jnp.atleast_2d(Xnew)
-        dm = jax.vmap(lambda x: jax.jacfwd(lambda xx: mu_var(xx)[0])(x))(Xnew)
-        dv = jax.vmap(lambda x: jax.jacfwd(lambda xx: mu_var(xx)[1])(x))(Xnew)
-        return dm[:, :, None].swapaxes(1, 2) if dm.ndim == 2 else dm, dv
+        dm = jax.vmap(lambda x: jax.jacfwd(lambda xx: mu_var(xx)[0])(x))(Xnew)  # (M, D)
+        dv = jax.vmap(lambda x: jax.jacfwd(lambda xx: mu_var(xx)[1])(x))(Xnew)  # (M, D)
+        return dm[:, :, None], dv
 
 
 @pytree_dataclass
@@ -202,6 +203,6 @@ class InputWarpedGP:
             return mu[0, 0], v[0, 0] + gp_w.likelihood_variance
 
         Xnew = jnp.atleast_2d(Xnew)
-        dm = jax.vmap(lambda x: jax.jacfwd(lambda xx: mu_var(xx)[0])(x))(Xnew)
-        dv = jax.vmap(lambda x: jax.jacfwd(lambda xx: mu_var(xx)[1])(x))(Xnew)
-        return dm[:, None, :].swapaxes(1, 2), dv
+        dm = jax.vmap(lambda x: jax.jacfwd(lambda xx: mu_var(xx)[0])(x))(Xnew)  # (M, D)
+        dv = jax.vmap(lambda x: jax.jacfwd(lambda xx: mu_var(xx)[1])(x))(Xnew)  # (M, D)
+        return dm[:, :, None], dv

@@ -130,3 +130,25 @@ def test_choleskies_roundtrip(rng):
     g1 = choleskies.backprop_gradient(jnp.asarray(dL), jnp.asarray(L))
     g2 = jax.grad(lambda a: jnp.sum(jnp.linalg.cholesky(a) * dL))(jnp.asarray(A))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(0.5 * (g2 + g2.T)), rtol=1e-8, atol=1e-10)
+
+
+def test_vardtc_missing_data(rng):
+    """Missing-data bound == sum of per-output VarDTC bounds on the observed subsets
+    (with shared Z), GPy vardtc_md semantics."""
+    X = rng.uniform(-3, 3, size=(30, 1))
+    Y = np.hstack([np.sin(X), np.cos(X)]) + 0.05 * rng.standard_normal((30, 2))
+    mask = np.ones((30, 2))
+    mask[::3, 0] = 0  # output 0 misses every 3rd row
+    mask[1::4, 1] = 0
+    k = kern.RBF.create(1, variance=1.0, lengthscale=1.0)
+    Z = X[::4]
+    m = SparseGPRegression.create(X, Y, kernel=k, Z=Z, noise_var=0.05)
+    val = float(m.missing_data_lml(mask))
+
+    ref = 0.0
+    for p in range(2):
+        rows = mask[:, p] > 0
+        mp = SparseGPRegression.create(X[rows], Y[rows, p], kernel=k, Z=Z,
+                                       noise_var=0.05)
+        ref += float(mp.log_marginal_likelihood())
+    np.testing.assert_allclose(val, ref, rtol=1e-8)
