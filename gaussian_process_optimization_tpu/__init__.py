@@ -24,3 +24,21 @@ if not _os.environ.get("GPO_TPU_FAST_MATMUL"):
 
 from . import config as _config  # noqa: F401
 from .config import config  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy top-level conveniences: gpo.GPRegression, gpo.BayesianOptimization, ...
+    if name in ("GPRegression", "SparseGPRegression", "SVGP", "Fitter"):
+        from . import models
+
+        return getattr(models, name)
+    if name in ("BayesianOptimization", "ModularBayesianOptimization", "DesignSpace",
+                "bounds_to_space", "initial_design"):
+        from . import bo
+
+        return getattr(bo, name)
+    if name == "kernels":
+        from . import kernels
+
+        return kernels
+    raise AttributeError(name)

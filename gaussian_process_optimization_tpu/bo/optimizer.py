@@ -135,7 +135,13 @@ class AcquisitionOptimizer:
         if duplicate_manager:
             keep = [i for i, x in enumerate(X_obj)
                     if not duplicate_manager.is_unzipped_x_duplicate(x)]
-            X_obj = X_obj[keep] if keep else X_obj
+            if not keep:
+                from .variables import FullyExploredOptimizationDomainError
+
+                raise FullyExploredOptimizationDomainError(
+                    "The whole search domain has been explored; no unique anchor points."
+                )
+            X_obj = X_obj[keep]
         Xm = space.unzip_inputs(X_obj)
         if cm is not None:
             Xm = cm.apply_context(Xm)
