@@ -94,25 +94,34 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
     c1 = 1e-4
 
     def line_search(x, f, g, d):
-        gtd = jnp.dot(g, d)
+        """Backtracking Armijo. The FIRST trial (t=1, the common accept for a
+        well-scaled L-BFGS direction) evaluates value_and_grad so the outer body
+        needs no separate gradient pass; backtracked trials are value-only (a
+        forward pass is ~3x cheaper) and the gradient is recomputed on acceptance."""
+        def trial(t, with_grad):
+            x_new = proj(x + t * d)
+            if with_grad:
+                f_new, g_new = vg(x_new)
+            else:
+                f_new, g_new = fun(x_new), g
+            ok = jnp.isfinite(f_new) & (f_new <= f + c1 * jnp.dot(g, x_new - x))
+            return x_new, f_new, g_new, ok
 
         def body(state):
-            t, _, _, _, it = state
-            x_new = proj(x + t * d)
-            # value-only trial: a forward pass is ~3x cheaper than value_and_grad;
-            # the gradient is computed once at the accepted point in the outer body
-            f_new = fun(x_new)
-            ok = jnp.isfinite(f_new) & (f_new <= f + c1 * jnp.dot(g, x_new - x))
-            return (t * 0.5, x_new, f_new, ok, it + 1)
+            t, _, _, _, _, it = state
+            x_new, f_new, _, ok = trial(t, with_grad=False)
+            return (t * 0.5, x_new, f_new, jnp.asarray(False), ok, it + 1)
 
         def cond(state):
-            _, _, _, ok, it = state
+            _, _, _, _, ok, it = state
             return (~ok) & (it < max_ls)
 
-        t0 = jnp.asarray(1.0, dtype)
-        init = body((t0, x, f, jnp.asarray(False), jnp.int32(-1)))
-        _, x_new, f_new, ok, _ = lax.while_loop(cond, body, init)
-        return x_new, f_new, ok, gtd
+        x1, f1, g1, ok1 = trial(jnp.asarray(1.0, dtype), with_grad=True)
+        init = (jnp.asarray(0.5, dtype), x1, f1, jnp.asarray(True), ok1, jnp.int32(0))
+        _, x_new, f_new, grad_fresh, ok, _ = lax.while_loop(cond, body, init)
+        # grad: reuse g1 when the t=1 trial was the accepted one, else recompute
+        g_new = lax.cond(grad_fresh, lambda: g1, lambda: vg(x_new)[1])
+        return x_new, f_new, g_new, ok
 
     def cond(state):
         k, _, _, _, _, _, _, _, _, _, converged = state
@@ -124,8 +133,7 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         # safeguard: if d is not a descent direction, fall back to steepest descent
         descent = jnp.dot(g, d) < 0
         d = jnp.where(descent, d, -g)
-        x_new, f_new, ls_ok, _ = line_search(x, f, g, d)
-        g_new = vg(x_new)[1]
+        x_new, f_new, g_new, ls_ok = line_search(x, f, g, d)
 
         s = x_new - x
         y = g_new - g
