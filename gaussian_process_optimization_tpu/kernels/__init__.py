@@ -2,8 +2,8 @@
 from .base import Add, Kernel, Prod
 from .gower import Gower
 from .linear import Linear
-from .other import MLP, Brownian, Coregionalize, Poly, StandardPeriodic
-from .static import Bias, Fixed, White
+from .other import MLP, Brownian, Coregionalize, Poly, Spline, StandardPeriodic
+from .static import Bias, Fixed, White, WhiteHeteroscedastic
 from .stationary import (
     OU,
     RBF,
@@ -21,7 +21,8 @@ from .stationary import (
 
 __all__ = [
     "Add", "Kernel", "Prod", "Gower", "Linear", "MLP", "Brownian", "Coregionalize",
-    "Poly", "StandardPeriodic", "Bias", "Fixed", "White", "OU", "RBF", "Cosine",
+    "Poly", "Spline", "StandardPeriodic", "Bias", "Fixed", "White",
+    "WhiteHeteroscedastic", "OU", "RBF", "Cosine",
     "Exponential", "ExpQuad", "Matern32", "Matern52", "RatQuad", "Sinc", "Stationary",
     "safe_sqrt", "sq_dist",
 ]

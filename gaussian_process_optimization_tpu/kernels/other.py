@@ -145,6 +145,38 @@ class Brownian(Kernel):
 
 
 @pytree_dataclass
+class Spline(Kernel):
+    """1-D cubic-spline kernel (GPy kern/src/spline.py):
+    K = sigma^2 (1 + xy + xy*min(x,y) - (x+y)/2 * min(x,y)^2 + min(x,y)^3/3)."""
+
+    variance: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, input_dim=1, variance=1.0, active_dims=None):
+        return cls(
+            input_dim=input_dim,
+            active_dims=tuple(active_dims) if active_dims is not None else None,
+            variance=jnp.asarray(variance, dtype=float).reshape(()),
+        )
+
+    def K(self, X, X2=None):
+        X = self._slice(X)
+        X2c = X if X2 is None else self._slice(X2)
+        x = X[:, 0][:, None]
+        y = X2c[:, 0][None, :]
+        m = jnp.minimum(x, y)
+        return self.variance * (
+            1.0 + x * y + x * y * m - 0.5 * (x + y) * jnp.square(m) + jnp.power(m, 3) / 3.0
+        )
+
+    def Kdiag(self, X):
+        X = self._slice(X)
+        x = X[:, 0]
+        # K(x,x) = 1 + x^2 + x^3 - x^3 + x^3/3 = 1 + x^2 + x^3/3
+        return self.variance * (1.0 + jnp.square(x) + jnp.power(x, 3) / 3.0)
+
+
+@pytree_dataclass
 class Coregionalize(Kernel):
     """Intrinsic coregionalization B = W W^T + diag(kappa); inputs are integer task
     indices in the sliced column (GPy coregionalize.py:18; Cython gather loops in

@@ -54,6 +54,31 @@ class Bias(Kernel):
 
 
 @pytree_dataclass
+class WhiteHeteroscedastic(Kernel):
+    """Per-point noise kernel: K(X_train) = diag(variances); zero off the training
+    set (GPy static.py WhiteHeteroscedastic)."""
+
+    variances: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, input_dim, num_data, variance=1.0, active_dims=None):
+        return cls(
+            input_dim=input_dim,
+            active_dims=tuple(active_dims) if active_dims is not None else None,
+            variances=jnp.broadcast_to(jnp.asarray(variance, dtype=float), (num_data,)),
+        )
+
+    def K(self, X, X2=None):
+        n = X.shape[0]
+        if X2 is None:
+            return jnp.diag(jnp.broadcast_to(self.variances, (n,)))
+        return jnp.zeros((n, X2.shape[0]), dtype=X.dtype)
+
+    def Kdiag(self, X):
+        return jnp.broadcast_to(self.variances, (X.shape[0],))
+
+
+@pytree_dataclass
 class Fixed(Kernel):
     """Fixed covariance matrix scaled by a variance (GPy static.py:177).
 

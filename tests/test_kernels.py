@@ -228,3 +228,18 @@ def test_gower_corrected_consistent(rng):
         return jnp.sum(gg.K(jnp.asarray(X)))
     grad_ls = np.asarray(jax.grad(loss)(base.lengthscale))
     assert np.all(np.isfinite(grad_ls)) and np.any(grad_ls != 0)
+
+
+def test_spline_and_white_het(rng):
+    x = np.abs(rng.standard_normal((9, 1)))
+    sp = kern.Spline.create(1, variance=1.3)
+    K = np.asarray(sp.K(jnp.asarray(x)))
+    np.testing.assert_allclose(K, K.T, atol=1e-12)
+    np.testing.assert_allclose(np.diag(K), np.asarray(sp.Kdiag(jnp.asarray(x))), rtol=1e-10)
+    ev = np.linalg.eigvalsh(K)
+    assert ev.min() > -1e-9  # PSD on positive inputs
+
+    v = rng.uniform(0.1, 1.0, size=9)
+    wh = kern.WhiteHeteroscedastic.create(1, 9, variance=v)
+    np.testing.assert_allclose(np.asarray(wh.K(jnp.asarray(x))), np.diag(v))
+    assert np.all(np.asarray(wh.K(jnp.asarray(x), jnp.asarray(x[:4]))) == 0)
