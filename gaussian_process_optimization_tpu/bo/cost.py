@@ -29,7 +29,10 @@ class CostModel:
         return np.exp(m)
 
     def _cost_gp_withGradients(self, x):
-        """(cost.py:48-53)."""
+        """(cost.py:48-53). Until the first update there is no cost data yet —
+        fall back to unit cost (the reference would crash here)."""
+        if self.num_updates == 0:
+            return constant_cost_withGradients(x)
         m, _, dmdx, _ = self.cost_model.predict_withGradients(x)
         return np.exp(m), np.exp(m) * dmdx
 

@@ -264,17 +264,21 @@ class BayesianOptimization(BO):
         return lambda x: -np.asarray(f(x))
 
     def _init_design_chooser(self, X, Y, seed=None):
-        """Sample the initial design if X/Y not given (:181-196)."""
+        """Sample the initial design if X/Y not given (:181-196). Initial evaluation
+        costs feed the 'evaluation_time' cost model right away."""
+        cost_values = None
         if X is None:
             X = initial_design(
                 self.initial_design_type, self.space, self.initial_design_numdata,
                 seed=seed,
             )
             if self.objective is not None:
-                Y, _ = self.objective.evaluate(X)
+                Y, cost_values = self.objective.evaluate(X)
         elif Y is None:
             if self.objective is not None:
-                Y, _ = self.objective.evaluate(X)
+                Y, cost_values = self.objective.evaluate(X)
+        if cost_values is not None and self.cost.cost_type == "evaluation_time":
+            self.cost.update_cost_model(X, cost_values)
         return X, Y
 
 

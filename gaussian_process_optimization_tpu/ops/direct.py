@@ -36,20 +36,16 @@ def direct_minimize(f, lower, upper, max_evals=300, eps=1e-4):
 
         # potentially optimal: for each distinct size, the best rect; filter by
         # the epsilon lower-bound improvement condition
+        # potentially optimal: best rectangle per distinct size, kept if it is
+        # near the incumbent (epsilon condition) or is among the largest
         po = []
         for sz in np.unique(np.round(sizes, 12)):
             group = np.where(np.isclose(sizes, sz))[0]
-            j = group[np.argmin(F[group])]
-            po.append(j)
-        po_final = []
-        for j in po:
-            K_ok = True
-            for k in po:
-                if sizes[k] > sizes[j] and F[k] <= F[j]:
-                    pass
-            # simple epsilon condition vs global best
-            if F[j] - eps * abs(fmin) <= fmin or np.isclose(sizes[j], sizes.max()):
-                po_final.append(j)
+            po.append(group[np.argmin(F[group])])
+        po_final = [
+            j for j in po
+            if F[j] - eps * abs(fmin) <= fmin or np.isclose(sizes[j], sizes.max())
+        ]
         if not po_final:
             po_final = [int(np.argmax(sizes))]
 

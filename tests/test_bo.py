@@ -202,3 +202,58 @@ def test_bo_random_and_thompson_batches():
         )
         batch = bo.suggest_next_locations()
         assert batch.shape[0] == 3
+
+
+def test_bo_cost_model_evaluation_time():
+    """cost_withGradients='evaluation_time': a GP over log cost divides the
+    acquisition (GPyOpt core/task/cost.py)."""
+    import time as _time
+
+    def slow_left(x):
+        x = np.atleast_2d(x)
+        _time.sleep(0.01)
+        return (x[:, 0:1] - 0.7) ** 2
+
+    bo = BayesianOptimization(
+        f=slow_left,
+        domain=bounds_to_space([(0.0, 1.0)]),
+        cost_withGradients="evaluation_time",
+        acquisition_type="EI",
+        initial_design_numdata=4,
+        exact_feval=True,
+        seed=0,
+    )
+    bo.run_optimization(max_iter=3, eps=-1)
+    assert bo.Y.shape[0] == 7
+    assert bo.cost.cost_type == "evaluation_time"
+    c, dc = bo.cost.cost_withGradients(np.array([[0.5]]))
+    assert c.shape == (1, 1) and float(c) > 0
+
+
+def test_bo_bandit_space():
+    arms = np.array([[0.0, 0.0], [0.5, 1.0], [1.0, 0.0], [1.5, 1.0], [2.0, 0.5]])
+
+    def f(x):
+        x = np.atleast_2d(x)
+        return ((x[:, 0:1] - 1.0) ** 2 + (x[:, 1:2] - 0.5) ** 2)
+
+    bo = BayesianOptimization(
+        f=f,
+        domain=[{"name": "arm", "type": "bandit", "domain": arms}],
+        acquisition_type="EI",
+        initial_design_numdata=4,
+        exact_feval=True,
+        de_duplication=True,
+        seed=0,
+    )
+    bo.run_optimization(max_iter=1, eps=-1)
+    # every evaluated point must be an arm
+    for row in bo.X:
+        assert any(np.allclose(row, a) for a in arms)
+    # once all 5 arms are explored, suggesting more must raise (the reference's
+    # FullyExploredOptimizationDomainError, anchor_points_generator.py:51)
+    from gaussian_process_optimization_tpu.bo import FullyExploredOptimizationDomainError
+
+    if len({tuple(r) for r in np.round(bo.X, 9)}) == len(arms):
+        with pytest.raises(FullyExploredOptimizationDomainError):
+            bo.suggest_next_locations()
