@@ -105,6 +105,30 @@ class Fitter:
         return self._run(model, key)
 
 
+def checkgrad(model, fix: tuple = (), transform_overrides: dict | None = None,
+              priors=None, eps: float = 1e-4, rtol: float = 1e-3, atol: float = 1e-6,
+              verbose: bool = False) -> bool:
+    """paramz `m.checkgrad()` parity: central finite differences of the packed
+    objective vs the autodiff gradient, in unconstrained optimizer space
+    (SURVEY §4: 'gradient correctness is the backbone')."""
+    import numpy as np
+
+    packer = make_packer(model, fix=fix, transform_overrides=transform_overrides)
+    obj = make_objective(packer, priors=priors)
+    u0 = np.asarray(packer.pack(model), dtype=float)
+    g = np.asarray(jax.grad(lambda u: obj(u, model))(jnp.asarray(u0)))
+    fd = np.zeros_like(u0)
+    for i in range(u0.size):
+        up, um = u0.copy(), u0.copy()
+        up[i] += eps
+        um[i] -= eps
+        fd[i] = (float(obj(jnp.asarray(up), model)) - float(obj(jnp.asarray(um), model))) / (2 * eps)
+    ok = np.allclose(g, fd, rtol=rtol, atol=atol)
+    if verbose or not ok:
+        print("checkgrad: analytic", g, "numeric", fd)
+    return bool(ok)
+
+
 def fit(model, num_restarts: int = 5, maxiter: int = 1000, key=None,
         fix: tuple = (), transform_overrides: dict | None = None,
         priors: dict[str, Prior] | None = None, jit: bool = True, **kw):

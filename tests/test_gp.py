@@ -172,3 +172,11 @@ def test_loo(toy):
     lpd = m.log_likelihood_LOO()
     assert lpd.shape == (25, 1)
     assert np.all(np.isfinite(np.asarray(lpd)))
+
+
+def test_checkgrad_method(toy):
+    """paramz m.checkgrad() parity via models.fit.checkgrad."""
+    X, Y, _ = toy
+    for kcls in [kern.RBF, kern.Matern52]:
+        m = GPRegression.create(X, Y, kernel=kcls.create(2, ARD=True), noise_var=0.05)
+        assert fit_mod.checkgrad(m)
