@@ -89,8 +89,11 @@ def main(iterations=4, batch=3, seed=0, state_file="mixed_bo_state.npz"):
                                    batch_size=3)
     print(f"pool picks (from {len(pool)} configurations):\n{picks}")
 
-    rmse = metamodel_rmse(bo.model, X, Y)
-    print(f"surrogate RMSE on evaluated points: {rmse:.4f}")
+    # the BO surrogate is trained on 'stats'-normalized Y — score in those units
+    from gaussian_process_optimization_tpu.utils.normalizer import normalize_stats
+
+    rmse = metamodel_rmse(bo.model, X, np.asarray(normalize_stats(Y)))
+    print(f"surrogate RMSE on evaluated points (normalized units): {rmse:.4f}")
     print(f"best configuration: {X[np.argmin(Y[:, 0])]}, f = {Y.min():.4f}")
     return X, Y
 

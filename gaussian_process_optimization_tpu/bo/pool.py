@@ -69,7 +69,11 @@ def suggest_from_pool(acquisition, pool_obj, space, batch_size=1, exclude_mask=N
 
 def metamodel_rmse(model, X_test, Y_test):
     """Surrogate-only prediction quality (run.py predict_using_metamodel:1322-1361):
-    RMSE of the posterior mean against held-out objective values."""
+    RMSE of the posterior mean against held-out objective values.
+
+    NOTE: Y_test must be in the MODEL's training units. The BO loop trains its
+    surrogate on 'stats'-normalized Y (bo_loop._update_model), so pass
+    `normalize_stats(Y)` when scoring a BO-loop surrogate."""
     mu, _ = model.predict(np.atleast_2d(X_test))
     err = np.asarray(mu).flatten() - np.asarray(Y_test).flatten()
     return float(np.sqrt(np.mean(err**2)))
