@@ -36,6 +36,44 @@ from .mean_functions import Mapping
 LOG_2_PI = float(jnp.log(2.0 * jnp.pi))
 
 
+@jax.custom_vjp
+def _exact_core(Ky, Yc):
+    """(logdet, quad, L, alpha, jitter, ok) for the exact-GP LML with the CLOSED-FORM
+    pullback: d(logdet)/dKy = Ky^-1, d(quad)/dKy = -alpha alpha^T, d(quad)/dYc =
+    2 alpha — exactly GPy's dL_dK = 0.5(alpha alpha^T - Wi)
+    (exact_gaussian_inference.py:70), one dpotri instead of autodiff's two full-width
+    triangular solves through the Cholesky. L/alpha/jitter/ok are returned
+    NON-DIFFERENTIABLE (their cotangents are dropped — they feed predict paths that
+    never differentiate w.r.t. them, matching GPy's posterior semantics)."""
+    from ..ops import linalg as _linalg
+
+    L, jitter, ok = _linalg.jitchol(Ky)
+    alpha = _linalg.cho_solve(L, Yc)
+    logdet = _linalg.logdet_from_chol(L)
+    quad = jnp.sum(alpha * Yc)
+    return logdet, quad, L, alpha, jitter, ok
+
+
+def _exact_core_fwd(Ky, Yc):
+    out = _exact_core(Ky, Yc)
+    logdet, quad, L, alpha, jitter, ok = out
+    return out, (L, alpha)
+
+
+def _exact_core_bwd(res, cts):
+    from ..ops import linalg as _linalg
+
+    L, alpha = res
+    c_logdet, c_quad = cts[0], cts[1]  # cotangents on L/alpha/jitter/ok dropped
+    Wi = _linalg.dpotri(L)
+    dKy = c_logdet * Wi - c_quad * (alpha @ alpha.T)
+    dYc = (2.0 * c_quad) * alpha
+    return dKy, dYc
+
+
+_exact_core.defvjp(_exact_core_fwd, _exact_core_bwd)
+
+
 @pytree_dataclass
 class Posterior:
     """Woodbury representation of the exact posterior (GPy posterior.py:9)."""
@@ -158,14 +196,10 @@ class GPRegression:
         noise = self._effective_noise(K.dtype)
         Ky = K + jnp.diag(jnp.broadcast_to(noise, (n,)).astype(K.dtype))
         Ky = linalg.masked_gram(Ky, self.mask)
-        L, jitter, ok = linalg.jitchol(Ky)
-        alpha = linalg.cho_solve(L, Yc)
-        logdet = linalg.logdet_from_chol(L)
+        logdet, quad, L, alpha, jitter, ok = _exact_core(Ky, Yc)
         p = Yc.shape[1]
         n_real = self.num_data
-        lml = 0.5 * (
-            -n_real * p * LOG_2_PI - p * logdet - jnp.sum(alpha * Yc)
-        )
+        lml = 0.5 * (-n_real * p * LOG_2_PI - p * logdet - quad)
         return Posterior(L=L, alpha=alpha, jitter=jitter, ok=ok, lml=lml)
 
     def log_marginal_likelihood(self) -> jnp.ndarray:
