@@ -33,7 +33,12 @@ from ..utils.normalizer import Standardize
 from ..utils.pytree import pytree_dataclass, replace
 from .mean_functions import Mapping
 
-LOG_2_PI = float(jnp.log(2.0 * jnp.pi))
+import math
+
+# Pure-host constant: must NOT be a jnp computation — evaluating one at import
+# time initializes the default device backend, which breaks entry points that
+# need to pick the platform (e.g. the multi-chip CPU dryrun) after import.
+LOG_2_PI = math.log(2.0 * math.pi)
 
 
 @jax.custom_vjp

@@ -16,7 +16,9 @@ from ..kernels.stationary import RBF
 from ..ops import linalg
 from ..utils.pytree import pytree_dataclass
 
-LOG_PI = float(jnp.log(jnp.pi))
+import math
+
+LOG_PI = math.log(math.pi)  # host constant — no device computation at import time
 
 
 @pytree_dataclass
