@@ -146,12 +146,15 @@ ExpQuad = RBF
 
 @pytree_dataclass
 class Exponential(Stationary):
-    """sigma^2 exp(-r/2)  — note GPy's Exponential (stationary.py:384) uses r/2."""
+    """sigma^2 exp(-r) (GPy stationary.py:384-388) — identical to OU/Matern-1/2."""
 
     _family = "exponential"
 
     def K_of_r(self, r):
-        return self.variance * jnp.exp(-0.5 * r)
+        return self.variance * jnp.exp(-r)
+
+    def dK_dr(self, r):
+        return -self.K_of_r(r)
 
 
 @pytree_dataclass

@@ -38,7 +38,7 @@ def _k_of_r(family, r, variance, power=None):
     if family == "rbf":
         return variance * jnp.exp(-0.5 * r * r)
     if family == "exponential":
-        return variance * jnp.exp(-0.5 * r)
+        return variance * jnp.exp(-r)  # GPy stationary.py:384-388
     if family == "ou":
         return variance * jnp.exp(-r)
     if family == "matern32":

@@ -57,6 +57,22 @@ def test_rbf_matches_formula(rng):
     np.testing.assert_allclose(K, var * np.exp(-0.5 * d2 / ls**2), rtol=1e-10)
 
 
+def test_exponential_matches_formula(rng):
+    # Pins K_of_r = variance * exp(-r) exactly as GPy stationary.py:384-388
+    # (round-1 shipped exp(-r/2) by mistake — ADVICE.md medium finding).
+    X = rng.standard_normal((10, 2))
+    Y = rng.standard_normal((7, 2))
+    var, ls = 1.9, 0.7
+    k = kern.Exponential.create(2, variance=var, lengthscale=ls)
+    K = np.asarray(k.K(jnp.asarray(X), jnp.asarray(Y)))
+    r = np.sqrt(((X[:, None, :] - Y[None, :, :]) ** 2).sum(-1)) / ls
+    np.testing.assert_allclose(K, var * np.exp(-r), rtol=1e-10)
+    # Exponential == OU == Matern-1/2 in GPy
+    K_ou = np.asarray(kern.OU.create(2, variance=var, lengthscale=ls).K(
+        jnp.asarray(X), jnp.asarray(Y)))
+    np.testing.assert_allclose(K, K_ou, rtol=1e-12)
+
+
 def test_matern52_matches_formula(rng):
     X = rng.standard_normal((8, 2))
     var = 1.5
