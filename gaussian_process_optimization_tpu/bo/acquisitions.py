@@ -105,10 +105,20 @@ class AcquisitionBase:
 
     def _compute_acq_withGradients(self, x):
         if not self.supports_device:
-            m, s, dm, ds = self.model.predict_withGradients(np.atleast_2d(x))
-            raise NotImplementedError(
-                "gradient path requires a device-state surrogate or an override"
-            )
+            # Host-only surrogate: chain rule through (m, s) -> acq, matching the
+            # reference's analytic formulas (EI.py:42-51: dEI = phi ds - Phi dm,
+            # etc. — here obtained by differentiating host_raw_acq directly).
+            x = np.atleast_2d(x)
+            m, s, dmdx, dsdx = self.model.predict_withGradients(x)
+            fmin = self.model.get_fmin()
+            mj, sj = jnp.asarray(m), jnp.asarray(s)
+            f = np.asarray(self.host_raw_acq(mj, sj, fmin))
+            dfdm, dfds = jax.grad(
+                lambda mm, ss: jnp.sum(self.host_raw_acq(mm, ss, fmin)),
+                argnums=(0, 1),
+            )(mj, sj)
+            df = np.asarray(dfdm) * np.asarray(dmdx) + np.asarray(dfds) * np.asarray(dsdx)
+            return f, df
         gp, post, fmin, state = self.device_args()
         X = jnp.asarray(np.atleast_2d(x), dtype=float)
 

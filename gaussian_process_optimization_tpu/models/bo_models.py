@@ -97,8 +97,15 @@ class GPModel(BOModel):
         (gpmodel.py:58 + GPy stationary.py:61-64)."""
         base = Matern52.create(input_dim, variance=1.0, ARD=self.ARD)
         if self.Gower and self.space is not None:
-            cont = self.space.get_continuous_dims()
-            disc = [d for d in range(input_dim) if d not in cont]
+            # The kernel slices MODEL-space X (one-hot expanded), so the
+            # continuous/discrete column indices must come from the model-space
+            # slices — get_continuous_dims() returns OBJECTIVE-space indices,
+            # which misalign as soon as a categorical variable expands
+            # (ADVICE round 1). Categorical one-hot columns go down the Hamming
+            # branch, which is exact on 0/1 indicators.
+            cont, disc = [], []
+            for v, sl in zip(self.space.space_expanded, self.space._model_slices):
+                (cont if v.is_continuous else disc).extend(range(sl.start, sl.stop))
             return Gower.create(
                 base,
                 ranges=np.asarray(self.space.lengthscales(), dtype=float),

@@ -11,7 +11,8 @@ runs optimize_restarts(5, 'bfgs', max_iters=1000)). Differences, TPU-first:
 - restarts run as ONE vmapped L-BFGS program on device (the reference loops restarts
   serially in Python, each step doing an O(N^3) CPU factorization);
 - restart initialization: restart 0 starts from the current parameters, others draw
-  N(0,1) in unconstrained space (paramz `randomize()` equivalent).
+  N(0,1) in unconstrained space (paramz `randomize()` equivalent) routed through each
+  transform's `random_restart` so box-bounded parameters restart at sane magnitudes.
 """
 from __future__ import annotations
 
@@ -80,7 +81,11 @@ class Fitter:
             u0 = packer.pack(model)
             n = u0.shape[0]
             if num_restarts > 1:
-                rand = jax.random.normal(key, (num_restarts - 1, n), dtype=u0.dtype)
+                z = jax.random.normal(key, (num_restarts - 1, n), dtype=u0.dtype)
+                # route each draw through the per-leaf restart map (paramz
+                # randomize() parity for Identity/Logexp; sane magnitudes for
+                # bounded transforms — ADVICE round 1)
+                rand = jax.vmap(packer.map_restart)(z)
                 starts = jnp.concatenate([u0[None], rand])
             else:
                 starts = u0[None]

@@ -190,18 +190,24 @@ def cholupdate(L: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.arange(n)
 
     def body(k, state):
+        # Orthogonal Givens form c = Lkk/r, s = xk/r (algebraically equal to the
+        # divide-by-pivot form but defined for a SEMIDEFINITE factor: Lkk == 0
+        # gives c=0, s=±1 instead of NaN; r == 0 is guarded to the identity
+        # rotation). The reference Cython (linalg_cython.pyx cholupdate) divides
+        # by the pivot unguarded — a flaw we do not replicate.
         L, x = state
         Lkk = L[k, k]
         xk = x[k]
         r = jnp.sqrt(Lkk**2 + xk**2)
-        c = r / Lkk
-        s = xk / Lkk
+        r_safe = jnp.where(r == 0.0, 1.0, r)
+        c = jnp.where(r == 0.0, 1.0, Lkk / r_safe)
+        s = xk / r_safe
         col = L[:, k]
         below = idx > k
-        new_col = jnp.where(below, (col + s * x) / c, col)
+        new_col = jnp.where(below, c * col + s * x, col)
         new_col = new_col.at[k].set(r)
         L = L.at[:, k].set(jnp.where(idx >= k, new_col, col))
-        x = jnp.where(below, c * x - s * new_col, x)
+        x = jnp.where(below, c * x - s * col, x)
         return L, x
 
     L, _ = lax.fori_loop(0, n, body, (L, x))

@@ -87,6 +87,25 @@ class Packer:
                 idx += size
         return jax.tree_util.tree_unflatten(self._treedef, out)
 
+    def map_restart(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Map a flat standard-normal vector to unconstrained restart coordinates,
+        routing each free leaf through its transform's `random_restart` (so
+        bounded parameters restart at sane constrained magnitudes instead of
+        mid-range — see Transform.random_restart)."""
+        parts = []
+        idx = 0
+        for shape, size, t, fx in zip(
+            self._shapes, self._sizes, self._transforms, self._fixed
+        ):
+            if fx:
+                continue
+            seg = jax.lax.dynamic_slice_in_dim(z, idx, size, axis=0)
+            parts.append(jnp.ravel(t.random_restart(seg.reshape(shape))))
+            idx += size
+        if not parts:
+            return jnp.zeros((0,), dtype=self._dtype)
+        return jnp.concatenate(parts)
+
     def map_constrained(self, fn: Callable, params: Any) -> list:
         """Apply fn(leaf_value, is_fixed) over constrained leaves (for priors)."""
         leaves = jax.tree_util.tree_leaves(params)

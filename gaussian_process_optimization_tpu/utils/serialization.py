@@ -48,6 +48,14 @@ def from_dict(d):
         return None
     if isinstance(d, dict) and "__class__" in d:
         mod_name, _, cls_name = d["__class__"].rpartition(".")
+        # Security: a checkpoint names classes to instantiate with its own kwargs.
+        # Restrict resolution to this package so an untrusted file can't be used
+        # as a gadget-instantiation vector (ADVICE round 1).
+        if not mod_name.startswith("gaussian_process_optimization_tpu"):
+            raise ValueError(
+                f"refusing to instantiate {d['__class__']!r}: only classes under "
+                "gaussian_process_optimization_tpu.* may appear in checkpoints"
+            )
         mod = importlib.import_module(mod_name)
         cls = mod
         for part in cls_name.split("."):

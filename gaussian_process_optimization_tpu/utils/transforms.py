@@ -25,6 +25,17 @@ class Transform:
     def inverse(self, v):
         raise NotImplementedError
 
+    def random_restart(self, z):
+        """Map a standard-normal draw z to an unconstrained restart coordinate.
+
+        paramz `randomize()` sets optimizer_array = N(0,1) directly, which is fine
+        for Identity/Logexp (softplus(N(0,1)) ~ [0.3, 1.7]) but pathological for
+        wide Logistic bounds, where sigmoid(0) lands mid-range (e.g. noise
+        bounded [1e-9, 1e6] restarts at ~5e5 — ADVICE round 1). Default keeps
+        paramz parity; bounded transforms override.
+        """
+        return z
+
 
 @pytree_dataclass
 class Identity(Transform):
@@ -71,6 +82,14 @@ class Logistic(Transform):
         v = jnp.asarray(v)
         p = jnp.clip((v - self.lo) / (self.hi - self.lo), 1e-15, 1.0 - 1e-15)
         return jnp.log(p) - jnp.log1p(-p)
+
+    def random_restart(self, z):
+        # Restart at a softplus(N(0,1))-magnitude CONSTRAINED value clipped into
+        # (lo, hi), mirroring what a positivity-transformed parameter would get,
+        # instead of sigmoid-center (mid-range) which for wide bounds is huge.
+        v = jnp.clip(POSITIVE.forward(jnp.asarray(z)), self.lo * (1.0 + 1e-6) + 1e-300,
+                     self.lo + (self.hi - self.lo) * (1.0 - 1e-6))
+        return self.inverse(v)
 
 
 POSITIVE = Positive()
