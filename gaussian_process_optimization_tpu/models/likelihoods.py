@@ -50,6 +50,31 @@ class Likelihood:
     def conditional_variance(self, f):
         raise NotImplementedError
 
+    def moments_match_ep(self, y, tau_cav, v_cav, gh_points=32):
+        """EP moment matching against the cavity N(v/tau, 1/tau): returns
+        (log Z_hat, mu_hat, sigma2_hat) — the quadrature fallback of GPy
+        ``likelihoods/likelihood.py`` `moments_match_ep`, vectorized over sites
+        and computed in log space for stability. Exact closed forms override
+        this in Bernoulli (probit) and Gaussian.
+        """
+        gh_x, gh_w = np.polynomial.hermite.hermgauss(gh_points)
+        gh_x = jnp.asarray(gh_x, dtype=jnp.result_type(tau_cav))
+        log_gh_w = jnp.log(jnp.asarray(gh_w)) - 0.5 * jnp.log(jnp.pi)
+        mu_cav = v_cav / tau_cav
+        s_cav = jnp.sqrt(2.0 / tau_cav)
+        f = mu_cav[..., None] + s_cav[..., None] * gh_x  # (n, gh)
+        logp = self.logpdf(f, y[..., None])
+        # log Z = logsumexp(log w + log p)
+        a = log_gh_w + logp
+        amax = jnp.max(a, axis=-1, keepdims=True)
+        w = jnp.exp(a - amax)
+        Z = jnp.sum(w, axis=-1)
+        logZ = jnp.log(Z) + amax[..., 0]
+        mu_hat = jnp.sum(w * f, axis=-1) / Z
+        e2 = jnp.sum(w * jnp.square(f), axis=-1) / Z
+        sigma2_hat = jnp.maximum(e2 - jnp.square(mu_hat), 1e-12)
+        return logZ, mu_hat, sigma2_hat
+
 
 @pytree_dataclass
 class GaussianLik(Likelihood):
@@ -75,6 +100,17 @@ class GaussianLik(Likelihood):
 
     def conditional_variance(self, f):
         return jnp.broadcast_to(self.variance, f.shape)
+
+    def moments_match_ep(self, y, tau_cav, v_cav, gh_points=None):
+        """Exact Gaussian-site moments (GPy gaussian.py moments_match_ep):
+        tilted = N(y | f, sigma2) N(f | mu_cav, s2_cav)."""
+        s2_cav = 1.0 / tau_cav
+        mu_cav = v_cav * s2_cav
+        tot = self.variance + s2_cav
+        logZ = -0.5 * (jnp.log(2 * jnp.pi * tot) + jnp.square(y - mu_cav) / tot)
+        mu_hat = (self.variance * mu_cav + s2_cav * y) / tot
+        sigma2_hat = self.variance * s2_cav / tot
+        return logZ, mu_hat, sigma2_hat
 
 
 @pytree_dataclass
@@ -111,6 +147,19 @@ class Bernoulli(Likelihood):
         """Closed-form probit predictive: p = Phi(mu / sqrt(1 + var))."""
         p = 0.5 * erfc(-(mu / jnp.sqrt(1.0 + var)) / jnp.sqrt(2.0))
         return p, p * (1 - p)
+
+    def moments_match_ep(self, y, tau_cav, v_cav, gh_points=None):
+        """Exact probit moments (GPML 3.58-3.59 / GPy bernoulli.py moments_match_ep)."""
+        ypm = jnp.where(y > 0, 1.0, -1.0)
+        s2_cav = 1.0 / tau_cav
+        mu_cav = v_cav * s2_cav
+        denom = jnp.sqrt(1.0 + s2_cav)
+        z = ypm * mu_cav / denom
+        logZ = _norm_logcdf(z)
+        ratio = jnp.exp(jax.scipy.stats.norm.logpdf(z) - logZ)
+        mu_hat = mu_cav + ypm * s2_cav * ratio / denom
+        sigma2_hat = s2_cav - jnp.square(s2_cav) * ratio * (z + ratio) / (1.0 + s2_cav)
+        return logZ, mu_hat, jnp.maximum(sigma2_hat, 1e-12)
 
 
 @pytree_dataclass
@@ -274,3 +323,251 @@ class HeteroscedasticGaussian(Likelihood):
 
     def conditional_variance(self, f):
         return jnp.broadcast_to(self.variances.reshape(f.shape), f.shape)
+
+
+# --------------------------------------------------------------------------- links
+# First-class link functions (GPy likelihoods/link_functions.py): lambda = transf(f)
+# maps the latent GP to the likelihood's natural parameter. Derivatives come from
+# autodiff through transf (GPy hand-codes dtransf_df/d2/d3).
+
+
+@pytree_dataclass
+class Link:
+    def transf(self, f):
+        raise NotImplementedError
+
+    def dtransf_df(self, f):
+        return jax.grad(lambda ff: jnp.sum(self.transf(ff)))(f)
+
+
+@pytree_dataclass
+class IdentityLink(Link):
+    """(link_functions.py:77)"""
+
+    def transf(self, f):
+        return f
+
+
+@pytree_dataclass
+class LogLink(Link):
+    """lambda = exp(f) (link_functions.py:173)"""
+
+    def transf(self, f):
+        return jnp.exp(f)
+
+
+@pytree_dataclass
+class ProbitLink(Link):
+    """lambda = Phi(f) (link_functions.py:109)"""
+
+    def transf(self, f):
+        return 0.5 * erfc(-f / jnp.sqrt(2.0))
+
+
+@pytree_dataclass
+class LogExp1Link(Link):
+    """lambda = log(1 + exp(f)) — softplus (link_functions.py:192 Log_ex_1)"""
+
+    def transf(self, f):
+        return jnp.logaddexp(0.0, f)
+
+
+@pytree_dataclass
+class ReciprocalLink(Link):
+    """lambda = 1/f (link_functions.py:217)"""
+
+    def transf(self, f):
+        return 1.0 / f
+
+
+@pytree_dataclass
+class CloglogLink(Link):
+    """lambda = 1 - exp(-exp(f)) (link_functions.py:142)"""
+
+    def transf(self, f):
+        return -jnp.expm1(-jnp.exp(f))
+
+
+@pytree_dataclass
+class HeavisideLink(Link):
+    """lambda = 1[f > 0] (link_functions.py:233) — not differentiable; only for
+    Heaviside-classification sampling paths."""
+
+    def transf(self, f):
+        return jnp.where(f > 0, 1.0, 0.0)
+
+
+@pytree_dataclass
+class LinkedLikelihood(Likelihood):
+    """Likelihood parameterized through a first-class link: subclasses implement
+    ``logpdf_link(link_f, y)``; ``logpdf`` composes with ``gp_link.transf``
+    (the GPy Likelihood/GPTransformation split, likelihoods/likelihood.py)."""
+
+    gp_link: Link = None
+
+    def logpdf_link(self, link_f, y):
+        raise NotImplementedError
+
+    def logpdf(self, f, y):
+        return self.logpdf_link(self.gp_link.transf(f), y)
+
+
+def _cens(censored, y):
+    if censored is None:
+        return jnp.zeros_like(y)
+    return jnp.broadcast_to(jnp.asarray(censored, dtype=float), y.shape)
+
+
+@pytree_dataclass
+class Weibull(LinkedLikelihood):
+    """Weibull survival likelihood, default Log link
+    (GPy likelihoods/weibull.py:14-80): log p = log r - log(lam) + (r-1) log y
+    - y^r / lam, censored entries contribute -y^r/lam only."""
+
+    r: jnp.ndarray = None
+    censored: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, r=1.0, gp_link=None, censored=None):
+        return cls(
+            gp_link=gp_link if gp_link is not None else LogLink(),
+            r=jnp.asarray(r, dtype=float).reshape(()),
+            censored=None if censored is None else jnp.asarray(censored, dtype=float),
+        )
+
+    def logpdf_link(self, link_f, y):
+        c = _cens(self.censored, y)
+        yr = jnp.power(y, self.r)
+        uncensored = (1 - c) * (
+            jnp.log(self.r) - jnp.log(link_f) + (self.r - 1) * jnp.log(y)
+            - yr / link_f
+        )
+        return uncensored + c * (-yr / link_f)
+
+    def conditional_mean(self, f):
+        lam = self.gp_link.transf(f)
+        return jnp.power(lam, 1.0 / self.r) * jnp.exp(gammaln(1.0 + 1.0 / self.r))
+
+    def conditional_variance(self, f):
+        lam = self.gp_link.transf(f)
+        m1 = jnp.exp(gammaln(1.0 + 1.0 / self.r))
+        m2 = jnp.exp(gammaln(1.0 + 2.0 / self.r))
+        return jnp.power(lam, 2.0 / self.r) * (m2 - m1**2)
+
+
+@pytree_dataclass
+class LogGaussian(LinkedLikelihood):
+    """Log-normal observation model, default Identity link on the log-scale
+    location (GPy likelihoods/loggaussian.py:13-60): log p = -0.5 log(2 pi s2)
+    - log y - (log y - lam)^2/(2 s2); censored: log(1 - Phi((log y - lam)/s))."""
+
+    variance: jnp.ndarray = None
+    censored: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, variance=1.0, gp_link=None, censored=None):
+        return cls(
+            gp_link=gp_link if gp_link is not None else IdentityLink(),
+            variance=jnp.asarray(variance, dtype=float).reshape(()),
+            censored=None if censored is None else jnp.asarray(censored, dtype=float),
+        )
+
+    def logpdf_link(self, link_f, y):
+        c = _cens(self.censored, y)
+        s2 = self.variance
+        z = (jnp.log(y) - link_f) / jnp.sqrt(s2)
+        uncensored = (1 - c) * (
+            -0.5 * jnp.log(2 * jnp.pi * s2) - jnp.log(y) - 0.5 * jnp.square(z)
+        )
+        censored = c * _norm_logcdf(-z)  # log(1 - Phi(z)), stable
+        return uncensored + censored
+
+    def conditional_mean(self, f):
+        lam = self.gp_link.transf(f)
+        return jnp.exp(lam + self.variance / 2.0)
+
+    def conditional_variance(self, f):
+        lam = self.gp_link.transf(f)
+        return jnp.expm1(self.variance) * jnp.exp(2 * lam + self.variance)
+
+
+@pytree_dataclass
+class LogLogistic(LinkedLikelihood):
+    """Log-logistic (Fisk) survival likelihood, default Log link
+    (GPy likelihoods/loglogistic.py:14-90): log p = log r + (r-1) log y
+    - r log lam - 2 log1p((y/lam)^r); censored: -log1p((y/lam)^r)."""
+
+    r: jnp.ndarray = None
+    censored: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, r=1.0, gp_link=None, censored=None):
+        return cls(
+            gp_link=gp_link if gp_link is not None else LogLink(),
+            r=jnp.asarray(r, dtype=float).reshape(()),
+            censored=None if censored is None else jnp.asarray(censored, dtype=float),
+        )
+
+    def logpdf_link(self, link_f, y):
+        c = _cens(self.censored, y)
+        log_ratio_r = self.r * (jnp.log(y) - jnp.log(link_f))
+        log1p_term = jnp.log1p(jnp.exp(jnp.clip(log_ratio_r, None, 80.0)))
+        uncensored = (1 - c) * (
+            jnp.log(self.r) + (self.r - 1) * jnp.log(y)
+            - self.r * jnp.log(link_f) - 2.0 * log1p_term
+        )
+        return uncensored + c * (-log1p_term)
+
+    def conditional_mean(self, f):
+        lam = self.gp_link.transf(f)
+        b = jnp.pi / self.r
+        return lam * b / jnp.sin(b)  # valid for r > 1
+
+    def conditional_variance(self, f):
+        lam = self.gp_link.transf(f)
+        b = jnp.pi / self.r
+        return jnp.square(lam) * (2 * b / jnp.sin(2 * b) - jnp.square(b / jnp.sin(b)))
+
+
+@pytree_dataclass
+class MixedNoise(Likelihood):
+    """Per-output Gaussian noise selected by an output index
+    (GPy likelihoods/mixed_noise.py:14-60): entry n uses
+    variances[output_index[n]]. The reference routes the index through
+    Y_metadata; here it is carried as a field so the whole thing stays a pytree.
+    """
+
+    variances: jnp.ndarray = None  # (num_outputs,)
+    output_index: jnp.ndarray = None  # (N,) int
+
+    @classmethod
+    def create(cls, variances, output_index):
+        return cls(
+            variances=jnp.asarray(variances, dtype=float).reshape(-1),
+            output_index=jnp.asarray(output_index, dtype=int).reshape(-1),
+        )
+
+    def gaussian_variance(self):
+        """(mixed_noise.py:23-30)"""
+        return self.variances[self.output_index]
+
+    def logpdf(self, f, y):
+        v = self.gaussian_variance().reshape(f.shape)
+        return -0.5 * (jnp.log(2 * jnp.pi * v) + jnp.square(y - f) / v)
+
+    def dlogpdf_df(self, f, y):
+        return (y - f) / self.gaussian_variance().reshape(f.shape)
+
+    def d2logpdf_df2(self, f, y):
+        return -1.0 / self.gaussian_variance().reshape(f.shape)
+
+    def conditional_mean(self, f):
+        return f
+
+    def conditional_variance(self, f):
+        return jnp.broadcast_to(self.gaussian_variance().reshape(f.shape), f.shape)
+
+    def predictive_values(self, mu, var):
+        """(mixed_noise.py:45-52): adds the per-index noise variance."""
+        v = self.gaussian_variance().reshape(mu.shape)
+        return mu, var + v
