@@ -126,6 +126,14 @@ class ArgumentsManager:
 
             return AcquisitionEntropySearch(model, space, acquisition_optimizer,
                                             cost_withGradients=cost_withGradients)
+        if acquisition_type == "ES_EPMGP":
+            # the reference's exact estimator (ES.py + util/epmgp.py)
+            from .entropy_search import AcquisitionEntropySearchEPMGP
+
+            return AcquisitionEntropySearchEPMGP(
+                model, space, acquisition_optimizer,
+                cost_withGradients=cost_withGradients,
+            )
         raise InvalidConfigError(f"unknown acquisition type {acquisition_type!r}")
 
     def evaluator_creator(self, evaluator_type, acquisition, batch_size, model_type,
