@@ -1,15 +1,31 @@
 """State-space (Kalman) form of 1-D GPs — linear-time exact inference.
 
 Rebuild of ``GPy/GPy/models/state_space_main.py`` (3622 LoC) +
-``state_space_cython.pyx`` (1001 LoC of Cython filter/smoother loops): Matern-family
-kernels in 1-D are exactly Markovian SDEs, so LML and prediction are a Kalman filter
-/ RTS smoother — O(N) instead of O(N^3). The Cython time loops become
-``lax.scan`` (SURVEY 'native component summary' item 5).
+``state_space_cython.pyx`` (1001 LoC of Cython filter/smoother loops): many 1-D
+kernels are exactly (or to spectral order) Markovian SDEs, so LML and prediction
+are a Kalman filter / RTS smoother — O(N) instead of O(N^3). The Cython time
+loops become ``lax.scan`` (SURVEY 'native component summary' item 5).
 
-Supported kernels: Matern-1/2 (OU/Exponential), Matern-3/2, Matern-5/2 — the exact
-SDE forms; state dims 1/2/3.
+Supported forms:
+- Matern-1/2 (OU/Exponential), Matern-3/2, Matern-5/2 — exact SDEs
+  (``GPy/GPy/kern/src/sde_matern.py``), state dims 1/2/3;
+- 'periodic' — the standard periodic kernel as a truncated harmonic expansion
+  (Solin & Sarkka 2014; ``GPy/GPy/kern/src/sde_standard_periodic.py:72-120``):
+  K(tau) ~= sum_j q_j^2 cos(j w0 tau) with q_j^2 = 2 sigma^2 e^{-1/l^2} I_j(1/l^2)
+  (halved at j=0), each harmonic a 2-D rotation block with Q_c = 0;
+- 'quasiperiodic_matern12' / 'quasiperiodic_matern32' — periodic x Matern
+  products via the Kronecker-sum composition F = F_p (+) F_m,
+  P_inf = P_p (x) P_m, H = H_p (x) H_m (``state_space_main.py`` kernel products);
+- SUMS of any of the above: family passed as a tuple -> block-diagonal stacking
+  (``state_space_main.py`` AddKalman-style combination), per-component
+  variance/lengthscale/period vectors.
+
+The discretization A = expm(F dt), Q = P_inf - A P_inf A^T (exact for stationary
+forms) is generic across all of these, so combination = matrix stacking only.
 """
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -18,20 +34,34 @@ from jax import lax
 
 from ..utils.pytree import pytree_dataclass, static_field
 
-LOG_2_PI = float(np.log(2 * np.pi))
+LOG_2_PI = math.log(2 * math.pi)
 
 
-def _ss_matrices(family, variance, lengthscale, dtype):
-    """Continuous-time (F, P_inf, H) for the Matern family."""
+def _bessel_iv_series(orders, z, terms=40):
+    """Modified Bessel I_j(z) for j = 0..orders-1 by the ascending series
+    I_j(z) = sum_m (z/2)^{2m+j} / (m! (m+j)!) — differentiable, accurate for the
+    moderate z = 1/lengthscale^2 regime where the periodic SDE is valid (the
+    reference warns lengthscale < 0.2 is unusable, sde_standard_periodic.py:76)."""
+    j = jnp.arange(orders, dtype=z.dtype)[:, None]  # (J, 1)
+    m = jnp.arange(terms, dtype=z.dtype)[None, :]  # (1, M)
+    # log term = (2m + j) log(z/2) - lgamma(m+1) - lgamma(m+j+1)
+    logz2 = jnp.log(z / 2.0)
+    log_t = (2 * m + j) * logz2 - jax.scipy.special.gammaln(m + 1.0) \
+        - jax.scipy.special.gammaln(m + j + 1.0)
+    return jnp.sum(jnp.exp(log_t), axis=1)  # (J,)
+
+
+def _matern_blocks(family, variance, lengthscale, dtype):
+    """Exact SDE (F, P_inf, H) for the Matern family (sde_matern.py)."""
     if family == "matern12":
         lam = 1.0 / lengthscale
-        F = jnp.asarray([[-lam]], dtype=dtype)
-        P_inf = jnp.asarray([[1.0]], dtype=dtype) * variance
+        F = -lam * jnp.eye(1, dtype=dtype)
+        P_inf = jnp.eye(1, dtype=dtype) * variance
         H = jnp.asarray([[1.0]], dtype=dtype)
     elif family == "matern32":
         lam = jnp.sqrt(3.0) / lengthscale
-        F = jnp.asarray([[0.0, 1.0], [0.0, 0.0]], dtype=dtype)
-        F = F.at[1, 0].set(-lam**2).at[1, 1].set(-2 * lam)
+        F = jnp.zeros((2, 2), dtype=dtype)
+        F = F.at[0, 1].set(1.0).at[1, 0].set(-lam**2).at[1, 1].set(-2 * lam)
         P_inf = jnp.zeros((2, 2), dtype=dtype)
         P_inf = P_inf.at[0, 0].set(variance).at[1, 1].set(variance * lam**2)
         H = jnp.asarray([[1.0, 0.0]], dtype=dtype)
@@ -51,36 +81,133 @@ def _ss_matrices(family, variance, lengthscale, dtype):
         )
         H = jnp.asarray([[1.0, 0.0, 0.0]], dtype=dtype)
     else:
-        raise ValueError(f"unsupported state-space kernel {family!r}")
+        raise ValueError(f"unsupported Matern state-space family {family!r}")
     return F, P_inf, H
+
+
+def _periodic_blocks(variance, lengthscale, period, order, dtype):
+    """Harmonic expansion of the standard periodic kernel
+    (sde_standard_periodic.py:72-120). Our StandardPeriodic uses
+    exp(-0.5 sin^2(pi tau/T)/l^2) == Solin-Sarkka with l_ss = 2 l."""
+    l_ss = 2.0 * lengthscale
+    z = 1.0 / jnp.square(l_ss)
+    w0 = 2.0 * jnp.pi / period
+    q2 = 2.0 * variance * jnp.exp(-z) * _bessel_iv_series(order + 1, z)
+    q2 = q2.at[0].multiply(0.5)
+    js = jnp.arange(order + 1, dtype=dtype)
+    # F = blkdiag_j [[0, -j w0], [j w0, 0]]; P_inf = blkdiag_j q_j^2 I_2
+    d = 2 * (order + 1)
+    F = jnp.zeros((d, d), dtype=dtype)
+    F = F.at[0::2, 1::2].set(jnp.diag(-js * w0))
+    F = F.at[1::2, 0::2].set(jnp.diag(js * w0))
+    P_inf = jnp.diag(jnp.repeat(q2, 2))
+    H = jnp.tile(jnp.asarray([[1.0, 0.0]], dtype=dtype), (1, order + 1))
+    return F, P_inf, H
+
+
+def _kron_product(Fa, Pa, Ha, Fb, Pb, Hb):
+    """State-space form of the PRODUCT kernel k_a * k_b: Kronecker sum for F,
+    Kronecker products for P_inf and H (state_space_main.py kernel products)."""
+    da, db = Fa.shape[0], Fb.shape[0]
+    Ia = jnp.eye(da, dtype=Fa.dtype)
+    Ib = jnp.eye(db, dtype=Fb.dtype)
+    F = jnp.kron(Fa, Ib) + jnp.kron(Ia, Fb)
+    P = jnp.kron(Pa, Pb)
+    H = jnp.kron(Ha, Hb)
+    return F, P, H
 
 
 @pytree_dataclass
 class StateSpaceGP:
-    """1-D GP regression in state-space form (GPy models/state_space.py)."""
+    """1-D GP regression in state-space form (GPy models/state_space.py).
+
+    `family` may be a single form or a tuple of forms (sum kernel). For tuple
+    families, `variance`, `lengthscale`, `period`, `lengthscale_damp` are
+    per-component vectors. `lengthscale_damp` is the Matern damping lengthscale
+    of quasi-periodic components (ignored elsewhere).
+    """
 
     variance: jnp.ndarray = None
     lengthscale: jnp.ndarray = None
     noise_variance: jnp.ndarray = None
+    period: jnp.ndarray = None
+    lengthscale_damp: jnp.ndarray = None
     X: jnp.ndarray = None  # (N, 1) inputs (times)
     Y: jnp.ndarray = None  # (N, 1)
-    family: str = static_field(default="matern32")
+    family: str | tuple = static_field(default="matern32")
+    order: int = static_field(default=7)  # periodic harmonic truncation
 
     @classmethod
     def create(cls, X, Y, family="matern32", variance=1.0, lengthscale=1.0,
-               noise_var=0.1):
+               noise_var=0.1, period=1.0, lengthscale_damp=1.0, order=7):
         X = jnp.asarray(X, dtype=float).reshape(-1, 1)
         Y = jnp.asarray(Y, dtype=float).reshape(-1, 1)
+        k = len(family) if isinstance(family, tuple) else None
+
+        def vec(v):
+            v = jnp.asarray(v, dtype=float)
+            if k is None:
+                return v.reshape(())
+            return jnp.broadcast_to(v.reshape(-1), (k,))
+
         return cls(
-            variance=jnp.asarray(variance, dtype=float).reshape(()),
-            lengthscale=jnp.asarray(lengthscale, dtype=float).reshape(()),
+            variance=vec(variance),
+            lengthscale=vec(lengthscale),
             noise_variance=jnp.asarray(noise_var, dtype=float).reshape(()),
-            X=X, Y=Y, family=family,
+            period=vec(period),
+            lengthscale_damp=vec(lengthscale_damp),
+            X=X, Y=Y, family=family, order=order,
         )
 
+    # ------------------------------------------------------------------ matrices
+    def _component(self, family, variance, lengthscale, period, ls_damp, dtype):
+        if family in ("matern12", "matern32", "matern52"):
+            return _matern_blocks(family, variance, lengthscale, dtype)
+        if family == "periodic":
+            return _periodic_blocks(variance, lengthscale, period, self.order,
+                                    dtype)
+        if family.startswith("quasiperiodic_"):
+            m_family = family.split("_", 1)[1]
+            Fp, Pp, Hp = _periodic_blocks(variance, lengthscale, period,
+                                          self.order, dtype)
+            Fm, Pm, Hm = _matern_blocks(m_family, jnp.asarray(1.0, dtype),
+                                        ls_damp, dtype)
+            return _kron_product(Fp, Pp, Hp, Fm, Pm, Hm)
+        raise ValueError(f"unsupported state-space family {family!r}")
+
+    def _blocks(self):
+        dtype = self.X.dtype
+        fams = self.family if isinstance(self.family, tuple) else (self.family,)
+        parts = []
+        for i, fam in enumerate(fams):
+            if isinstance(self.family, tuple):
+                v, l = self.variance[i], self.lengthscale[i]
+                p, ld = self.period[i], self.lengthscale_damp[i]
+            else:
+                v, l = self.variance, self.lengthscale
+                p = self.period if self.period is not None else jnp.asarray(1.0, dtype)
+                ld = (self.lengthscale_damp
+                      if self.lengthscale_damp is not None else jnp.asarray(1.0, dtype))
+            parts.append(self._component(fam, v, l, p, ld, dtype))
+        if len(parts) == 1:
+            return parts[0]
+        # sum kernel: block-diagonal stacking
+        dims = [F.shape[0] for F, _, _ in parts]
+        d = sum(dims)
+        F = jnp.zeros((d, d), dtype=dtype)
+        P = jnp.zeros((d, d), dtype=dtype)
+        Hs = []
+        off = 0
+        for (Fi, Pi, Hi), di in zip(parts, dims):
+            F = lax.dynamic_update_slice(F, Fi, (off, off))
+            P = lax.dynamic_update_slice(P, Pi, (off, off))
+            Hs.append(Hi)
+            off += di
+        H = jnp.concatenate(Hs, axis=1)
+        return F, P, H
+
     def _discretize(self, dts):
-        F, P_inf, H = _ss_matrices(self.family, self.variance, self.lengthscale,
-                                   self.X.dtype)
+        F, P_inf, H = self._blocks()
         expm = jax.scipy.linalg.expm
 
         def one(dt):
@@ -91,6 +218,7 @@ class StateSpaceGP:
         A, Q = jax.vmap(one)(dts)
         return A, Q, P_inf, H
 
+    # ------------------------------------------------------------------ inference
     def _filter(self, t, y, obs_mask):
         """Kalman filter over sorted times; y entries with obs_mask=0 are skipped
         (prediction-only steps). Returns per-step filtered (m, P) + lml."""
