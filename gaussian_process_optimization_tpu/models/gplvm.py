@@ -135,31 +135,41 @@ class BayesianGPLVM:
     def elbo(self):
         """Uncertain-input collapsed bound (Titsias & Lawrence 2010; GPy var_dtc
         with psi statistics) + KL(q(X) || N(0, I))."""
-        sigma2 = self.likelihood_variance + config.noise_jitter
-        n, p = self.Y.shape
-        m = self.Z.shape[0]
-        psi0, psi1, psi2 = rbf_psi_stats(self.kern, self.Z, self.q_mu, self.q_S)
-        Kmm = self.kern.K(self.Z) + 1e-6 * jnp.eye(m)
-        Lm, _, _ = linalg.jitchol(Kmm)
-        # A = Lm^-1 psi2 Lm^-T / sigma2
-        tmp = linalg.solve_lower(Lm, psi2)
-        A = linalg.solve_lower(Lm, tmp.T).T / sigma2
-        B = jnp.eye(m) + A
-        LB, _, _ = linalg.jitchol(B)
-        # c = LB^-1 Lm^-1 psi1^T Y / sigma2
-        Py = psi1.T @ self.Y
-        c = linalg.solve_lower(LB, linalg.solve_lower(Lm, Py)) / sigma2
-        bound = (
-            -0.5 * n * p * (LOG_2_PI + jnp.log(sigma2))
-            - 0.5 * p * linalg.logdet_from_chol(LB)
-            - 0.5 * jnp.sum(jnp.square(self.Y)) / sigma2
-            + 0.5 * jnp.sum(jnp.square(c))
-            - 0.5 * p / sigma2 * (psi0 - jnp.trace(A) * sigma2)
+        bound = uncertain_input_bound(
+            self.kern, self.Z, self.likelihood_variance, self.Y, self.q_mu, self.q_S
         )
-        kl = 0.5 * jnp.sum(
-            jnp.square(self.q_mu) + self.q_S - jnp.log(self.q_S) - 1.0
-        )
-        return bound - kl
+        return bound - gaussian_kl(self.q_mu, self.q_S)
 
     def log_marginal_likelihood(self):
         return self.elbo()
+
+
+def uncertain_input_bound(kern, Z, noise_var, Y, q_mu, q_S):
+    """The collapsed variational bound for ONE view given q(X) = N(q_mu, diag(q_S))
+    (GPy var_dtc.py uncertain-inputs path; shared by BayesianGPLVM and MRD)."""
+    sigma2 = noise_var + config.noise_jitter
+    n, p = Y.shape
+    m = Z.shape[0]
+    psi0, psi1, psi2 = rbf_psi_stats(kern, Z, q_mu, q_S)
+    Kmm = kern.K(Z) + 1e-6 * jnp.eye(m)
+    Lm, _, _ = linalg.jitchol(Kmm)
+    # A = Lm^-1 psi2 Lm^-T / sigma2
+    tmp = linalg.solve_lower(Lm, psi2)
+    A = linalg.solve_lower(Lm, tmp.T).T / sigma2
+    B = jnp.eye(m) + A
+    LB, _, _ = linalg.jitchol(B)
+    # c = LB^-1 Lm^-1 psi1^T Y / sigma2
+    Py = psi1.T @ Y
+    c = linalg.solve_lower(LB, linalg.solve_lower(Lm, Py)) / sigma2
+    return (
+        -0.5 * n * p * (LOG_2_PI + jnp.log(sigma2))
+        - 0.5 * p * linalg.logdet_from_chol(LB)
+        - 0.5 * jnp.sum(jnp.square(Y)) / sigma2
+        + 0.5 * jnp.sum(jnp.square(c))
+        - 0.5 * p / sigma2 * (psi0 - jnp.trace(A) * sigma2)
+    )
+
+
+def gaussian_kl(q_mu, q_S):
+    """KL(N(q_mu, diag(q_S)) || N(0, I))."""
+    return 0.5 * jnp.sum(jnp.square(q_mu) + q_S - jnp.log(q_S) - 1.0)
