@@ -3,6 +3,8 @@ from .base import Add, Kernel, Prod
 from .gower import Gower
 from .linear import Linear
 from .other import MLP, Brownian, Coregionalize, Poly, Spline, StandardPeriodic
+from .integral import Integral
+from .periodic_rkhs import PeriodicExponential, PeriodicMatern32, PeriodicMatern52
 from .static import Bias, Fixed, White, WhiteHeteroscedastic
 from .stationary import (
     OU,
@@ -24,5 +26,21 @@ __all__ = [
     "Poly", "Spline", "StandardPeriodic", "Bias", "Fixed", "White",
     "WhiteHeteroscedastic", "OU", "RBF", "Cosine",
     "Exponential", "ExpQuad", "Matern32", "Matern52", "RatQuad", "Sinc", "Stationary",
-    "safe_sqrt", "sq_dist",
+    "safe_sqrt", "sq_dist", "Integral", "PeriodicExponential", "PeriodicMatern32",
+    "PeriodicMatern52", "GridRBF",
 ]
+
+
+from ..utils.pytree import pytree_dataclass as _pytree_dataclass
+
+
+@_pytree_dataclass
+class GridRBF(RBF):
+    """RBF for Kronecker/grid inference (GPy kern/src/grid_kerns.py GridRBF).
+
+    The reference subclass only adds hand-coded per-factor derivative helpers
+    (dKd_dVar/dKd_dLen, grid_kerns.py:17-44) consumed by gaussian_grid_inference;
+    here models/gp_grid.py differentiates through the per-axis K builds by
+    autodiff, so the grid kernel IS the plain RBF — the alias records the parity
+    point (a deliberate design collapse, like diag-utils into linalg).
+    """
