@@ -3,8 +3,12 @@ production path) and on CPU float64 (the reference-numerics proxy — identical 
 to GPy/GPyOpt's LAPACK f64), across seeds. Writes benchmarks/RESULTS.md and a
 regret-curve plot. This is the evidence for BASELINE's "matching regret curves".
 
+Statistical protocol (VERDICT round-1 item 3): >= 10 seeds per function on BOTH
+backends, same configs; report median + IQR; parity = overlapping IQRs.
+
 Runs each backend in its own subprocess (the platform is fixed at jax init, and the
-TPU tunnel is single-client).
+TPU tunnel is single-client). The persistent XLA compile cache (.jax_cache) makes
+repeat seeds cheap on TPU.
 """
 import json
 import subprocess
@@ -17,6 +21,9 @@ CHILD = r"""
 import sys, json
 sys.path.insert(0, {root!r})
 import jax
+jax.config.update("jax_compilation_cache_dir", {root!r} + "/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 if {cpu}:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
@@ -24,6 +31,7 @@ import numpy as np
 from gaussian_process_optimization_tpu.bo import BayesianOptimization, bounds_to_space
 from gaussian_process_optimization_tpu.bo import objectives
 
+iters = {iters!r}
 out = {{}}
 for func_name in {funcs!r}:
     func = getattr(objectives, func_name)
@@ -34,44 +42,70 @@ for func_name in {funcs!r}:
             domain=bounds_to_space(func.bounds),
             acquisition_type="EI", initial_design_numdata=5,
             initial_design_type="latin", exact_feval=True, seed=seed)
-        bo.run_optimization(max_iter={iters}, eps=-1)
+        bo.run_optimization(max_iter=iters[func_name], eps=-1)
         best = np.minimum.accumulate(bo.Y[:, 0]) - func.fmin
         curves.append(best.tolist())
+        print(f"# {{}} seed {{}}: final regret {{:.4f}}".format(
+            func_name, seed, best[-1]), flush=True)
     out[func_name] = curves
 print("RESULT::" + json.dumps(out))
 """
 
 
 def run_backend(cpu, funcs, seeds, iters):
-    code = CHILD.format(root=str(ROOT), cpu=cpu, funcs=funcs, seeds=seeds, iters=iters)
+    code = CHILD.format(root=str(ROOT), cpu=cpu, funcs=list(funcs), seeds=seeds,
+                        iters=dict(iters))
     res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
-                         timeout=3600)
+                         timeout=7200)
     for line in res.stdout.splitlines():
         if line.startswith("RESULT::"):
             return json.loads(line[len("RESULT::"):])
     raise RuntimeError(f"child failed:\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}")
 
 
-def main(funcs=("branin", "forrester"), seeds=3, iters=20):
+DEFAULT_ITERS = {"branin": 20, "forrester": 20, "hartmann6": 30}
+
+
+def main(funcs=("branin", "forrester", "hartmann6"), seeds=10, iters=None):
+    iters = iters or DEFAULT_ITERS
+    import numpy as np
+
     print("running CPU f64 (reference-numerics proxy)...", flush=True)
     cpu = run_backend(True, list(funcs), seeds, iters)
     print("running TPU f32...", flush=True)
     tpu = run_backend(False, list(funcs), seeds, iters)
 
-    import numpy as np
+    def stats(v):
+        v = np.asarray(v)
+        q1, med, q3 = np.percentile(v, [25, 50, 75])
+        return med, q1, q3
 
-    lines = ["# Regret parity: TPU f32 vs CPU f64 (same code, same config)\n",
-             f"EI, latin init 5, {iters} iterations, {seeds} seeds, exact_feval.\n"]
+    lines = [
+        "# Regret parity: TPU f32 vs CPU f64 (same code, same config)\n",
+        f"EI, latin init 5, {seeds} seeds, exact_feval. Iterations per function: "
+        f"{iters}. Parity criterion: overlapping inter-quartile ranges of final "
+        "simple regret.\n",
+    ]
+    all_overlap = True
     for fn in funcs:
         c = np.asarray([row[-1] for row in cpu[fn]])
         t = np.asarray([row[-1] for row in tpu[fn]])
+        cm, c1, c3 = stats(c)
+        tm, t1, t3 = stats(t)
+        overlap = (t1 <= c3) and (c1 <= t3)
+        all_overlap &= overlap
         lines.append(f"## {fn}\n")
-        lines.append(f"- final regret CPU f64: {np.round(c, 4).tolist()} "
-                     f"(median {np.median(c):.4f})")
-        lines.append(f"- final regret TPU f32: {np.round(t, 4).tolist()} "
-                     f"(median {np.median(t):.4f})\n")
+        lines.append(f"- CPU f64 final regret: median {cm:.4f}, IQR [{c1:.4f}, {c3:.4f}]"
+                     f" — seeds: {np.round(np.sort(c), 4).tolist()}")
+        lines.append(f"- TPU f32 final regret: median {tm:.4f}, IQR [{t1:.4f}, {t3:.4f}]"
+                     f" — seeds: {np.round(np.sort(t), 4).tolist()}")
+        lines.append(f"- IQRs overlap: **{overlap}**\n")
+    lines.append(f"\nAll functions IQR-overlap: **{all_overlap}**\n")
     md = "\n".join(lines)
     (ROOT / "benchmarks" / "RESULTS.md").write_text(md)
+    (ROOT / "benchmarks" / "regret_raw.json").write_text(
+        json.dumps({"cpu_f64": cpu, "tpu_f32": tpu, "seeds": seeds, "iters": iters})
+    )
     print(md)
 
     # plot
@@ -85,14 +119,14 @@ def main(funcs=("branin", "forrester"), seeds=3, iters=20):
     for ax, fn in zip(axes, funcs):
         for label, data, color in [("CPU f64", cpu[fn], "C0"), ("TPU f32", tpu[fn], "C1")]:
             for i, row in enumerate(data):
-                ax.semilogy(np.maximum(row, 1e-6), color=color, alpha=0.6,
+                ax.semilogy(np.maximum(row, 1e-6), color=color, alpha=0.45,
                             label=label if i == 0 else None)
         ax.set_title(fn)
         ax.set_xlabel("evaluation")
         ax.set_ylabel("simple regret")
         ax.legend()
     fig.savefig(ROOT / "benchmarks" / "regret_curves.png", bbox_inches="tight")
-    print("wrote benchmarks/RESULTS.md, benchmarks/regret_curves.png")
+    print("wrote benchmarks/RESULTS.md, regret_raw.json, regret_curves.png")
 
 
 if __name__ == "__main__":
