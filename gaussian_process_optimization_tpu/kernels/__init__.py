@@ -5,6 +5,7 @@ from .linear import Linear
 from .other import MLP, Brownian, Coregionalize, Poly, Spline, StandardPeriodic
 from .integral import Integral
 from .periodic_rkhs import PeriodicExponential, PeriodicMatern32, PeriodicMatern52
+from .split import DEtime, MultioutputKern, SplitKern
 from .static import Bias, Fixed, White, WhiteHeteroscedastic
 from .stationary import (
     OU,
@@ -27,7 +28,7 @@ __all__ = [
     "WhiteHeteroscedastic", "OU", "RBF", "Cosine",
     "Exponential", "ExpQuad", "Matern32", "Matern52", "RatQuad", "Sinc", "Stationary",
     "safe_sqrt", "sq_dist", "Integral", "PeriodicExponential", "PeriodicMatern32",
-    "PeriodicMatern52", "GridRBF",
+    "PeriodicMatern52", "GridRBF", "SplitKern", "DEtime", "MultioutputKern",
 ]
 
 
