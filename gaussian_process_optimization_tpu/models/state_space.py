@@ -117,6 +117,66 @@ def _kron_product(Fa, Pa, Ha, Fb, Pb, Hb):
     return F, P, H
 
 
+def _kernel_to_spec(k):
+    """One kernel object -> (family, variance, lengthscale, period, ls_damp).
+    The sde_* API surface (GPy kern/src/sde_matern.py sde_Matern32.sde() etc.):
+    the reference wraps each kernel class in an sde_ subclass exposing its
+    state-space matrices; here a dispatcher reads the plain kernel objects."""
+    from ..kernels.base import Prod
+    from ..kernels.other import StandardPeriodic
+    from ..kernels.stationary import OU, Exponential, Matern32, Matern52
+
+    one = 1.0
+    if isinstance(k, (OU, Exponential)):
+        return ("matern12", k.variance, k.lengthscale, one, one)
+    if isinstance(k, Matern32):
+        return ("matern32", k.variance, k.lengthscale, one, one)
+    if isinstance(k, Matern52):
+        return ("matern52", k.variance, k.lengthscale, one, one)
+    if isinstance(k, StandardPeriodic):
+        return ("periodic", k.variance, k.lengthscale, k.period, one)
+    if isinstance(k, Prod) and len(k.parts) == 2:
+        ks = k.parts
+        per = [p for p in ks if isinstance(p, StandardPeriodic)]
+        mat = [p for p in ks if isinstance(p, (OU, Exponential, Matern32))]
+        if len(per) == 1 and len(mat) == 1:
+            fam = "quasiperiodic_matern12" if isinstance(
+                mat[0], (OU, Exponential)) else "quasiperiodic_matern32"
+            # product variance folds into the periodic factor
+            return (fam, per[0].variance * mat[0].variance, per[0].lengthscale,
+                    per[0].period, mat[0].lengthscale)
+    raise ValueError(
+        f"no state-space (SDE) form for kernel {type(k).__name__}; supported: "
+        "OU/Exponential, Matern32, Matern52, StandardPeriodic, "
+        "StandardPeriodic*Matern products, and Add sums of those"
+    )
+
+
+def from_kernel(kernel, X, Y, noise_var=0.1, order=7):
+    """Build a StateSpaceGP from kernel OBJECTS (the sde_* bridge): accepts the
+    Matern family, StandardPeriodic, periodic*Matern products, and Add sums."""
+    from ..kernels.base import Add
+
+    import numpy as np
+
+    parts = kernel.parts if isinstance(kernel, Add) else (kernel,)
+    specs = [_kernel_to_spec(p) for p in parts]
+    fams = tuple(s[0] for s in specs)
+    if len(fams) == 1:
+        f, v, l, p, ld = specs[0]
+        return StateSpaceGP.create(X, Y, family=f, variance=v, lengthscale=l,
+                                   period=p, lengthscale_damp=ld,
+                                   noise_var=noise_var, order=order)
+    return StateSpaceGP.create(
+        X, Y, family=fams,
+        variance=np.asarray([float(s[1]) for s in specs]),
+        lengthscale=np.asarray([float(s[2]) for s in specs]),
+        period=np.asarray([float(s[3]) for s in specs]),
+        lengthscale_damp=np.asarray([float(s[4]) for s in specs]),
+        noise_var=noise_var, order=order,
+    )
+
+
 @pytree_dataclass
 class StateSpaceGP:
     """1-D GP regression in state-space form (GPy models/state_space.py).

@@ -102,6 +102,31 @@ def test_sum_kernel_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(var_ss), np.asarray(var_d), rtol=1e-5)
 
 
+def test_from_kernel_bridge_matches_dense(rng):
+    """The sde_* bridge: from_kernel(StandardPeriodic + Matern32) == dense GP
+    with the same Add kernel."""
+    from gaussian_process_optimization_tpu.models.state_space import from_kernel
+
+    X, Y = _toy(rng, n=28)
+    kp = kern.StandardPeriodic.create(1, variance=0.7, period=1.5, lengthscale=1.1)
+    km = kern.Matern32.create(1, variance=0.4, lengthscale=1.8)
+    ss = from_kernel(kern.Add(parts=(kp, km)), X, Y, noise_var=0.07, order=9)
+    dense = GPRegression.create(X, Y, kernel=kern.Add(parts=(kp, km)),
+                                noise_var=0.07)
+    np.testing.assert_allclose(
+        float(ss.log_marginal_likelihood()),
+        float(dense.log_marginal_likelihood()), rtol=1e-6,
+    )
+    # quasi-periodic product bridge
+    ss2 = from_kernel(kern.Prod(parts=(kp, km)), X, Y, noise_var=0.07, order=9)
+    dense2 = GPRegression.create(X, Y, kernel=kern.Prod(parts=(kp, km)),
+                                 noise_var=0.07)
+    np.testing.assert_allclose(
+        float(ss2.log_marginal_likelihood()),
+        float(dense2.log_marginal_likelihood()), rtol=1e-6,
+    )
+
+
 def test_matern_families_still_match_dense(rng):
     """Regression guard: the refactor must not change the Matern forms."""
     X, Y = _toy(rng, n=25)
