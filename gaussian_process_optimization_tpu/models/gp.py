@@ -139,9 +139,14 @@ class GPRegression:
             # so the pytree structure (and thus the cached jitted fit program) is
             # stable as the BO loop grows N to exactly the bucket size.
             mask = (jnp.arange(max_points) < n).astype(X.dtype)
+        # scalar noise -> homoscedastic; (N,) vector -> heteroscedastic
+        # (GPy gp_heteroscedastic_regression.py semantics)
+        noise_arr = jnp.asarray(noise_var, dtype=float)
+        noise_arr = noise_arr.reshape(()) if noise_arr.ndim == 0 or noise_arr.size == 1 \
+            else noise_arr.reshape(-1)
         return cls(
             kern=kernel,
-            likelihood_variance=jnp.asarray(noise_var, dtype=float).reshape(()),
+            likelihood_variance=noise_arr,
             X=X,
             Y=Y,
             mask=mask,
