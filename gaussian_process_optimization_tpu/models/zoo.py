@@ -111,6 +111,80 @@ class OneVsAllClassification:
         return self.classes_[np.argmax(self.predict_proba(Xnew), axis=1)]
 
 
+class OneVsAllSparseClassification:
+    """Sparse (EPDTC) one-vs-all (one_vs_all_sparse_classification.py:8)."""
+
+    def __init__(self, X, Y, kernel=None, num_inducing=10, **kw):
+        from .classification import SparseGPClassification
+
+        Y = np.asarray(Y).reshape(-1)
+        self.classes_ = np.unique(Y)
+        self.models = {}
+        for c in self.classes_:
+            yc = np.where(Y == c, 1.0, -1.0)
+            self.models[c] = SparseGPClassification.create(
+                X, yc, kernel=kernel or RBF.create(np.atleast_2d(X).shape[1]),
+                num_inducing=num_inducing, **kw
+            )
+
+    def predict_proba(self, Xnew):
+        ps = np.column_stack(
+            [np.asarray(self.models[c].predict(Xnew)) for c in self.classes_]
+        )
+        return ps / ps.sum(axis=1, keepdims=True)
+
+    def predict(self, Xnew):
+        return self.classes_[np.argmax(self.predict_proba(Xnew), axis=1)]
+
+
+def fit_bcgplvm(Y, input_dim, mapping=None, kernel=None, noise_var=0.1,
+                maxiter=300, hidden_dim=5, seed=0):
+    """Back-constrained GPLVM (GPy models/bcgplvm.py:10): the latents are a
+    parametric function of the data, X = g(Y), and the MAPPING's parameters are
+    optimized through the GP LML (preserves local distances; Lawrence &
+    Quinonero-Candela 2006). Default mapping: one-hidden-layer MLP."""
+    from ..ops import lbfgs
+    from ..utils.packing import Packer
+    from ..utils.transforms import IDENTITY, POSITIVE
+    from .mean_functions import MLPMapping
+    from .parameters import DATA_NAMES, POSITIVE_NAMES, _leaf_names
+
+    Y = np.asarray(Y, dtype=float)
+    Yc = Y - Y.mean(0)
+    mapping = mapping or MLPMapping.create(Y.shape[1], input_dim,
+                                           hidden_dim=hidden_dim, seed=seed)
+    kernel = kernel or RBF.create(input_dim, ARD=True)
+    base = GPRegression.create(np.zeros((Y.shape[0], input_dim)), Yc,
+                               kernel=kernel, noise_var=noise_var)
+
+    carrier = {"map": mapping, "gp": base}
+    names = _leaf_names(carrier)
+    transforms = [POSITIVE if nm in POSITIVE_NAMES else IDENTITY for nm in names]
+    fixed = [nm in DATA_NAMES for nm in names]  # gp.X fixed (recomputed), Y fixed
+    packer = Packer(carrier, transforms=transforms, fixed=fixed)
+    Yj = jnp.asarray(Yc)
+
+    def obj(u):
+        c = packer.unpack(u, reference=carrier)
+        X = c["map"].f(Yj)
+        gp = GPRegression(
+            kern=c["gp"].kern, likelihood_variance=c["gp"].likelihood_variance,
+            X=X, Y=c["gp"].Y, mask=None, mean_function=None, normalizer=None,
+        )
+        return -gp.log_marginal_likelihood()
+
+    res = lbfgs.minimize(obj, packer.pack(carrier), maxiter=maxiter)
+    fitted = packer.unpack(res.x, reference=carrier)
+    X_final = fitted["map"].f(Yj)
+    gp = GPRegression(
+        kern=fitted["gp"].kern,
+        likelihood_variance=fitted["gp"].likelihood_variance,
+        X=X_final, Y=fitted["gp"].Y, mask=None, mean_function=None,
+        normalizer=None,
+    )
+    return gp, fitted["map"], res
+
+
 def fit_sparse_gplvm(Y, input_dim, num_inducing=10, kernel=None, noise_var=0.1,
                      maxiter=300, seed=0):
     """Point-estimate sparse GPLVM (sparse_gplvm.py:9): the VarDTC collapsed

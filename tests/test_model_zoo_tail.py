@@ -80,6 +80,27 @@ def test_sparse_gplvm_improves_bound(rng):
     assert bool(res.num_iters > 0)
 
 
+def test_bcgplvm_improves_lml(rng):
+    t = np.linspace(0, 2 * np.pi, 30)
+    Y = np.stack([np.sin(t), np.cos(t), np.sin(2 * t)], 1) \
+        + 0.05 * rng.standard_normal((30, 3))
+    gp, mapping, res = zoo.fit_bcgplvm(Y, input_dim=2, maxiter=80, seed=0)
+    assert np.isfinite(float(res.f))
+    # latents come from the mapping and have the requested dimensionality
+    X = np.asarray(mapping.f(jnp.asarray(Y - Y.mean(0))))
+    assert X.shape == (30, 2)
+    assert np.isfinite(float(gp.log_marginal_likelihood()))
+
+
+def test_one_vs_all_sparse(rng):
+    X = np.concatenate([rng.normal(-2, 0.4, 15), rng.normal(2, 0.4, 15)])[:, None]
+    Y = np.repeat([0, 1], 15)
+    clf = zoo.OneVsAllSparseClassification(
+        X, Y, kernel=kern.RBF.create(1, variance=3.0), num_inducing=6)
+    pred = clf.predict(np.array([[-2.0], [2.0]]))
+    np.testing.assert_array_equal(pred, [0, 1])
+
+
 def test_gp_offset_regression_recovers_offset(rng):
     """Two clusters of the same function shifted by 0.7: the trainable offset
     must recover ~0.7 (gp_offset_regression.py semantics)."""
