@@ -158,7 +158,10 @@ class GPModel(BOModel):
             fitter = self._fitter_for(bucket)
             self._key, sub = jax.random.split(self._key)
             self.model, _info = fitter(self.model, sub)
-        self.posterior = self.model.inference()
+        # precompute L^-1: the posterior feeds the acquisition sweep + vmapped
+        # multistart, where matmul-path prediction avoids latency-bound
+        # triangular solves on TPU (Posterior.Li)
+        self.posterior = self.model.inference(precompute_inverse=True)
         self._fmin = None
 
     def predict(self, X):

@@ -81,13 +81,21 @@ _exact_core.defvjp(_exact_core_fwd, _exact_core_bwd)
 
 @pytree_dataclass
 class Posterior:
-    """Woodbury representation of the exact posterior (GPy posterior.py:9)."""
+    """Woodbury representation of the exact posterior (GPy posterior.py:9).
+
+    `Li` (= L^-1, optional) trades one N-rhs triangular solve at posterior-build
+    time for MATMUL-only predictive variances afterwards: a TPU triangular solve
+    is a sequential blocked algorithm (latency-bound for the thin right-hand
+    sides of acquisition optimization), while Li @ Kx rides the MXU. Build it
+    with `GPRegression.inference(precompute_inverse=True)` for predict-heavy
+    phases (the acquisition argmax). Mirrors GPy's lazy `woodbury_inv`."""
 
     L: jnp.ndarray = None  # lower Cholesky of Ky (woodbury_chol)
     alpha: jnp.ndarray = None  # Ky^-1 (Y - m)      (woodbury_vector)
     jitter: jnp.ndarray = None
     ok: jnp.ndarray = None
     lml: jnp.ndarray = None
+    Li: jnp.ndarray = None  # optional L^-1 (enables matmul-path prediction)
 
 
 @pytree_dataclass
@@ -198,8 +206,11 @@ class GPRegression:
         v = self.likelihood_variance
         return jnp.mean(v) if v.ndim > 0 else v
 
-    def inference(self) -> Posterior:
-        """Exact Gaussian inference (exact_gaussian_inference.py:37-75)."""
+    def inference(self, precompute_inverse: bool = False) -> Posterior:
+        """Exact Gaussian inference (exact_gaussian_inference.py:37-75).
+
+        precompute_inverse: also store Li = L^-1 so subsequent predictions are
+        matmul-only (see Posterior.Li)."""
         Yc = self._normalized_Y()
         K = self.kern.K(self.X)
         n = self.X.shape[0]
@@ -210,7 +221,10 @@ class GPRegression:
         p = Yc.shape[1]
         n_real = self.num_data
         lml = 0.5 * (-n_real * p * LOG_2_PI - p * logdet - quad)
-        return Posterior(L=L, alpha=alpha, jitter=jitter, ok=ok, lml=lml)
+        Li = None
+        if precompute_inverse:
+            Li = linalg.solve_lower(L, jnp.eye(n, dtype=L.dtype))
+        return Posterior(L=L, alpha=alpha, jitter=jitter, ok=ok, lml=lml, Li=Li)
 
     def log_marginal_likelihood(self) -> jnp.ndarray:
         return self.inference().lml
@@ -226,7 +240,8 @@ class GPRegression:
         mu = Kx.T @ post.alpha
         if self.mean_function is not None:
             mu = mu + self.mean_function.f(Xnew)
-        tmp = linalg.solve_lower(post.L, Kx)
+        # matmul path when L^-1 was precomputed (MXU-friendly; see Posterior.Li)
+        tmp = post.Li @ Kx if post.Li is not None else linalg.solve_lower(post.L, Kx)
         if full_cov:
             var = self.kern.K(Xnew) - tmp.T @ tmp
             var = linalg.symmetrify(var)
