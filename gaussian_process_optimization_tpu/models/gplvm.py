@@ -147,10 +147,16 @@ class BayesianGPLVM:
 def uncertain_input_bound(kern, Z, noise_var, Y, q_mu, q_S):
     """The collapsed variational bound for ONE view given q(X) = N(q_mu, diag(q_S))
     (GPy var_dtc.py uncertain-inputs path; shared by BayesianGPLVM and MRD)."""
+    psi0, psi1, psi2 = rbf_psi_stats(kern, Z, q_mu, q_S)
+    return collapsed_bound_from_psi(kern, Z, noise_var, Y, psi0, psi1, psi2)
+
+
+def collapsed_bound_from_psi(kern, Z, noise_var, Y, psi0, psi1, psi2):
+    """Collapsed uncertain-input bound given precomputed psi statistics (shared
+    with the spike-and-slab GPLVM, which swaps in the SSRBF psi stats)."""
     sigma2 = noise_var + config.noise_jitter
     n, p = Y.shape
     m = Z.shape[0]
-    psi0, psi1, psi2 = rbf_psi_stats(kern, Z, q_mu, q_S)
     Kmm = kern.K(Z) + 1e-6 * jnp.eye(m)
     Lm, _, _ = linalg.jitchol(Kmm)
     # A = Lm^-1 psi2 Lm^-T / sigma2
