@@ -16,6 +16,16 @@ def test_forrester_gp_example(tmp_path, monkeypatch):
     assert float(model.kern.lengthscale) > 0
 
 
+def test_classification_and_latents_example(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from examples import classification_and_latents
+
+    lml_ss, lml_dense = classification_and_latents.main(
+        plot=True, out=str(tmp_path / "c.png"))
+    assert (tmp_path / "c.png").exists()
+    assert abs(lml_ss - lml_dense) < 1e-3 * max(1.0, abs(lml_dense))
+
+
 def test_branin_bo_example(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from examples import branin_bo
