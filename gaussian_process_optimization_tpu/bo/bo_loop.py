@@ -105,9 +105,13 @@ class BO:
         self.Y_new = self.Y
         self._fit_failed = False
 
+        from ..utils.profiling import PhaseTimer
+
+        self.phase_timer = PhaseTimer()
         while self.max_time > self.cum_time:
             zero_time = time.time()
-            self._update_model(self.normalization_type)
+            with self.phase_timer("fit"):
+                self._update_model(self.normalization_type)
             if self._fit_failed:
                 break  # bo.py:134-137: LinAlgError during fit ends the run
             if save_models_parameters:
@@ -119,9 +123,11 @@ class BO:
             ):
                 break
 
-            self.suggested_sample = self._compute_next_evaluations()
+            with self.phase_timer("acquisition"):
+                self.suggested_sample = self._compute_next_evaluations()
             self.X = np.vstack((self.X, self.suggested_sample))
-            self.evaluate_objective()
+            with self.phase_timer("objective"):
+                self.evaluate_objective()
 
             self.cum_time += time.time() - zero_time
             self.num_acquisitions += 1
@@ -130,6 +136,8 @@ class BO:
                     f"num acquisition: {self.num_acquisitions}, "
                     f"time elapsed: {self.cum_time:.2f}s"
                 )
+        if verbosity and self.num_acquisitions:
+            print(self.phase_timer.report())
 
         self._compute_results()
         if report_file is not None:
