@@ -45,7 +45,7 @@ for func_name in {funcs!r}:
         bo.run_optimization(max_iter=iters[func_name], eps=-1)
         best = np.minimum.accumulate(bo.Y[:, 0]) - func.fmin
         curves.append(best.tolist())
-        print(f"# {{}} seed {{}}: final regret {{:.4f}}".format(
+        print("# {{}} seed {{}}: final regret {{:.4f}}".format(
             func_name, seed, best[-1]), flush=True)
     out[func_name] = curves
 print("RESULT::" + json.dumps(out))
