@@ -128,6 +128,48 @@ class SSGPLVM:
         return jnp.mean(self.q_gamma, axis=0)
 
 
+@pytree_dataclass
+class SSMRD:
+    """Spike-and-Slab MRD (GPy/GPy/models/ss_mrd.py): V views share one
+    spike-and-slab variational latent; per-view ARD kernels/inducing/noise.
+    Objective = sum_v collapsed_bound_v(SS psi stats) - SS KL — the MRD
+    composition (models/mrd.py) with the SSRBF statistics."""
+
+    kerns: tuple = ()
+    noise_vars: jnp.ndarray = None
+    Zs: tuple = ()
+    q_mu: jnp.ndarray = None
+    q_S: jnp.ndarray = None
+    q_gamma: jnp.ndarray = None
+    Ys: tuple = ()
+    pi: float = static_field(default=0.5)
+
+    @classmethod
+    def create(cls, Ys, input_dim, num_inducing=10, noise_var=0.1, pi=0.5, seed=0):
+        from .mrd import MRD
+
+        base = MRD.create(Ys, input_dim, num_inducing=num_inducing,
+                          noise_var=noise_var, seed=seed)
+        return cls(
+            kerns=base.kerns, noise_vars=base.noise_vars, Zs=base.Zs,
+            q_mu=base.q_mu, q_S=base.q_S,
+            q_gamma=0.5 * jnp.ones_like(base.q_S), Ys=base.Ys, pi=float(pi),
+        )
+
+    def elbo(self):
+        bound = 0.0
+        for v, (k, Z, Y) in enumerate(zip(self.kerns, self.Zs, self.Ys)):
+            psi0, psi1, psi2 = ssrbf_psi_stats(k, Z, self.q_mu, self.q_S,
+                                               self.q_gamma)
+            bound = bound + collapsed_bound_from_psi(
+                k, Z, self.noise_vars[v], Y, psi0, psi1, psi2
+            )
+        return bound - spike_slab_kl(self.q_mu, self.q_S, self.q_gamma, self.pi)
+
+    def log_marginal_likelihood(self):
+        return self.elbo()
+
+
 def fit_ssgplvm(model: SSGPLVM, maxiter=300):
     """L-BFGS over hyperparameters, Z, and the variational (mu, S, gamma)."""
     from ..ops import lbfgs

@@ -98,6 +98,20 @@ def test_ssgplvm_selection_pressure(rng):
     assert e_on_off > e_off_on, (e_on_off, e_off_on)  # keep the informative dim
 
 
+def test_ssmrd_single_view_matches_ssgplvm(rng):
+    """SSMRD with one view == SSGPLVM (same composition identity as MRD/BGPLVM)."""
+    from gaussian_process_optimization_tpu.models.ss_gplvm import SSMRD
+
+    t = np.linspace(0, 2 * np.pi, 20)
+    Y = np.stack([np.sin(t), np.cos(t)], 1) + 0.05 * rng.standard_normal((20, 2))
+    mm = SSMRD.create([Y], input_dim=2, num_inducing=6, noise_var=0.1, pi=0.4,
+                      seed=0)
+    ss = SSGPLVM(kern=mm.kerns[0], likelihood_variance=mm.noise_vars[0],
+                 Z=mm.Zs[0], q_mu=mm.q_mu, q_S=mm.q_S, q_gamma=mm.q_gamma,
+                 Y=mm.Ys[0], pi=0.4)
+    np.testing.assert_allclose(float(mm.elbo()), float(ss.elbo()), rtol=1e-10)
+
+
 def test_ssgplvm_fit_improves_elbo(rng):
     t = np.linspace(0, 2 * np.pi, 30)
     Y = np.stack([np.sin(t), np.cos(t), 0.5 * np.sin(t) + 0.5 * np.cos(t)], 1)
