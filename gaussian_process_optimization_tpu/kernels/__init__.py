@@ -4,6 +4,7 @@ from .gower import Gower
 from .linear import Linear
 from .other import MLP, Brownian, Coregionalize, Poly, Spline, StandardPeriodic
 from .integral import Integral
+from .lfm import EQ_ODE1
 from .periodic_rkhs import PeriodicExponential, PeriodicMatern32, PeriodicMatern52
 from .split import DEtime, MultioutputKern, SplitKern
 from .static import Bias, Fixed, White, WhiteHeteroscedastic
@@ -29,6 +30,7 @@ __all__ = [
     "Exponential", "ExpQuad", "Matern32", "Matern52", "RatQuad", "Sinc", "Stationary",
     "safe_sqrt", "sq_dist", "Integral", "PeriodicExponential", "PeriodicMatern32",
     "PeriodicMatern52", "GridRBF", "SplitKern", "DEtime", "MultioutputKern",
+    "EQ_ODE1",
 ]
 
 

@@ -1,0 +1,87 @@
+"""EQ_ODE1 (first-order latent force model, GPy kern/src/eq_ode1.py): the
+closed-form covariances are pinned against NUMERICAL QUADRATURE of the defining
+ODE integrals y(t) = w int_0^t e^{-d(t-s)} u(s) ds — the independent-
+implementation policy; plus PSD and a GP-regression smoke test."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_process_optimization_tpu.kernels.lfm import EQ_ODE1
+
+
+def _k_eq(s, sp, l):
+    return np.exp(-((s - sp) ** 2) / l**2)
+
+
+def test_k_fu_matches_quadrature():
+    l, d, w = 0.7, 1.3, 1.0
+    k = EQ_ODE1.create(output_dim=1, rank=1, W=[[w]], lengthscale=[l], decay=[d])
+    n = 4000
+    for t in (0.5, 1.2, 2.5):
+        for tp in (0.3, 1.0, 2.0):
+            s = np.linspace(0, t, n)
+            num = w * np.trapezoid(np.exp(-d * (t - s)) * _k_eq(s, tp, l), s)
+            got = float(k._k_fu(jnp.asarray(t), jnp.asarray(d), jnp.asarray(tp),
+                                jnp.asarray(l))) * w
+            np.testing.assert_allclose(got, num, rtol=2e-3, atol=1e-6)
+
+
+def test_k_ff_matches_double_quadrature():
+    l, d1, d2 = 0.6, 1.1, 0.8
+    k = EQ_ODE1.create(output_dim=2, rank=1, W=[[1.0], [1.0]],
+                       lengthscale=[l], decay=[d1, d2])
+    n = 700
+    for t in (0.8, 1.6):
+        for tp in (0.5, 2.0):
+            s = np.linspace(0, t, n)
+            sp = np.linspace(0, tp, n)
+            S, SP = np.meshgrid(s, sp, indexing="ij")
+            integ = np.exp(-d1 * (t - S)) * np.exp(-d2 * (tp - SP)) * _k_eq(S, SP, l)
+            num = np.trapezoid(np.trapezoid(integ, sp, axis=1), s)
+            got = float(k._k_ff(jnp.asarray(t), jnp.asarray(d1), jnp.asarray(tp),
+                                jnp.asarray(d2), jnp.asarray(l)))
+            np.testing.assert_allclose(got, num, rtol=5e-3, atol=1e-6)
+
+
+def test_full_K_block_structure_and_psd(rng):
+    k = EQ_ODE1.create(output_dim=2, rank=1, W=[[0.8], [1.2]],
+                       lengthscale=[0.7], decay=[1.0, 0.5])
+    t = np.sort(rng.uniform(0.1, 3, 8))
+    # rows: output 0, output 1, latent (index 2)
+    X = np.vstack([
+        np.column_stack([t, np.zeros_like(t)]),
+        np.column_stack([t, np.ones_like(t)]),
+        np.column_stack([t, np.full_like(t, 2.0)]),
+    ])
+    K = np.asarray(k.K(jnp.asarray(X)))
+    np.testing.assert_allclose(K, K.T, atol=1e-8)
+    assert np.linalg.eigvalsh(K).min() > -1e-7
+    # latent-latent block is the plain EQ kernel
+    np.testing.assert_allclose(K[16:, 16:], _k_eq(t[:, None], t[None, :], 0.7),
+                               rtol=1e-8)
+
+
+def test_lfm_gp_regression_smoke(rng):
+    """Joint GP over (outputs, latent): inferring the latent force from output
+    observations must correlate with the truth."""
+    from gaussian_process_optimization_tpu.models.gp import GPRegression
+
+    l, d = 0.8, 1.0
+    t = np.linspace(0.05, 4, 35)
+    # simulate: u = sin(2 pi t / 2), y = int e^{-d(t-s)} u(s) ds
+    s_grid = np.linspace(0, 4, 2001)
+    u_true = np.sin(np.pi * s_grid)
+    y_true = np.array([
+        np.trapezoid(np.exp(-d * (ti - s_grid[s_grid <= ti]))
+                     * u_true[s_grid <= ti], s_grid[s_grid <= ti])
+        for ti in t
+    ])
+    k = EQ_ODE1.create(output_dim=1, rank=1, W=[[1.0]], lengthscale=[l], decay=[d])
+    X = np.column_stack([t, np.zeros_like(t)])
+    m = GPRegression.create(X, y_true[:, None], kernel=k, noise_var=1e-4)
+    # predict the LATENT at a grid (index 1)
+    tq = np.linspace(0.2, 3.8, 25)
+    Xq = np.column_stack([tq, np.ones_like(tq)])
+    mu, _ = m.predict(jnp.asarray(Xq), include_likelihood=False)
+    corr = np.corrcoef(np.asarray(mu)[:, 0], np.sin(np.pi * tq))[0, 1]
+    assert corr > 0.95, corr
