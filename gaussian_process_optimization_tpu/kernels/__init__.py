@@ -5,6 +5,17 @@ from .linear import Linear
 from .other import MLP, Brownian, Coregionalize, Poly, Spline, StandardPeriodic
 from .integral import Integral
 from .lfm import EQ_ODE1
+from .misc import (
+    BasisFuncKernel,
+    ChangePointBasisFuncKernel,
+    DomainKernel,
+    IndependentOutputs,
+    LinearSlopeBasisFuncKernel,
+    LogisticBasisFuncKernel,
+    PolynomialBasisFuncKernel,
+    Symmetric,
+    TruncLinear,
+)
 from .periodic_rkhs import PeriodicExponential, PeriodicMatern32, PeriodicMatern52
 from .split import DEtime, MultioutputKern, SplitKern
 from .static import Bias, Fixed, White, WhiteHeteroscedastic
@@ -30,7 +41,10 @@ __all__ = [
     "Exponential", "ExpQuad", "Matern32", "Matern52", "RatQuad", "Sinc", "Stationary",
     "safe_sqrt", "sq_dist", "Integral", "PeriodicExponential", "PeriodicMatern32",
     "PeriodicMatern52", "GridRBF", "SplitKern", "DEtime", "MultioutputKern",
-    "EQ_ODE1",
+    "EQ_ODE1", "TruncLinear", "Symmetric", "BasisFuncKernel",
+    "PolynomialBasisFuncKernel", "LinearSlopeBasisFuncKernel",
+    "ChangePointBasisFuncKernel", "DomainKernel", "LogisticBasisFuncKernel",
+    "IndependentOutputs",
 ]
 
 
