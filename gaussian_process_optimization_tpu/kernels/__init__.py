@@ -3,7 +3,7 @@ from .base import Add, Kernel, Prod
 from .gower import Gower
 from .linear import Linear
 from .other import MLP, Brownian, Coregionalize, Poly, Spline, StandardPeriodic
-from .integral import Integral
+from .integral import Integral, IntegralLimits, MultidimensionalIntegralLimits
 from .lfm import EQ_ODE1
 from .misc import (
     BasisFuncKernel,
@@ -44,7 +44,7 @@ __all__ = [
     "EQ_ODE1", "TruncLinear", "Symmetric", "BasisFuncKernel",
     "PolynomialBasisFuncKernel", "LinearSlopeBasisFuncKernel",
     "ChangePointBasisFuncKernel", "DomainKernel", "LogisticBasisFuncKernel",
-    "IndependentOutputs",
+    "IndependentOutputs", "IntegralLimits", "MultidimensionalIntegralLimits",
 ]
 
 

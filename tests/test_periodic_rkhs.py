@@ -104,6 +104,46 @@ def test_integral_kernel_matches_quadrature(rng):
             np.testing.assert_allclose(got_xf, num_xf, rtol=5e-3)
 
 
+def test_integral_limits_matches_quadrature(rng):
+    """k_xx over windows [s,t]x[s',t'] must equal the double integral of k_ff
+    (integral_limits.py:55-64); k_xf the single integral over [s,t]."""
+    k = kern.IntegralLimits.create(variances=1.2, lengthscale=0.9)
+    n = 1500
+    cases = [((0.2, 1.5), (0.5, 2.2)), ((0.0, 1.0), (0.3, 0.9))]
+    for (s, t), (sp, tp) in cases:
+        us = np.linspace(s, t, n)
+        vs = np.linspace(sp, tp, n)
+        U, V = np.meshgrid(us, vs, indexing="ij")
+        ff = np.exp(-((U - V) ** 2) / 0.9**2)
+        num = 1.2 * np.trapezoid(np.trapezoid(ff, vs, axis=1), us)
+        X = jnp.asarray([[t, s], [tp, sp]])
+        got = float(k.K(X)[0, 1])
+        np.testing.assert_allclose(got, num, rtol=5e-3)
+        # cross: int_s^t k_ff(u, tq) du at a probe point tq
+        tq = 0.8
+        num_xf = 1.2 * np.trapezoid(np.exp(-((us - tq) ** 2) / 0.9**2), us)
+        got_xf = float(k.K(jnp.asarray([[t, s]]), jnp.asarray([[tq, 0.0]]))[0, 0])
+        np.testing.assert_allclose(got_xf, num_xf, rtol=5e-3)
+
+
+def test_multidimensional_integral_limits_is_product(rng):
+    k2 = kern.MultidimensionalIntegralLimits.create(4, variances=1.0,
+                                                    lengthscale=[0.8, 1.1])
+    k1a = kern.IntegralLimits.create(variances=1.0, lengthscale=0.8)
+    k1b = kern.IntegralLimits.create(variances=1.0, lengthscale=1.1)
+    Xs = rng.uniform(0, 2, (5, 4))
+    # enforce t >= s per pair
+    Xs = np.column_stack([
+        np.maximum(Xs[:, 0], Xs[:, 1]), np.minimum(Xs[:, 0], Xs[:, 1]),
+        np.maximum(Xs[:, 2], Xs[:, 3]), np.minimum(Xs[:, 2], Xs[:, 3]),
+    ])
+    X = jnp.asarray(Xs)
+    K = np.asarray(k2.K(X))
+    Ka = np.asarray(k1a.K(X[:, :2]))
+    Kb = np.asarray(k1b.K(X[:, 2:]))
+    np.testing.assert_allclose(K, Ka * Kb, rtol=1e-10)
+
+
 def test_integral_kernel_psd_and_gp(rng):
     k = kern.Integral.create(variances=1.0, lengthscale=1.0)
     X = np.sort(rng.uniform(0.1, 3, 15))[:, None]
