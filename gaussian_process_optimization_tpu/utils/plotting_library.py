@@ -252,7 +252,10 @@ def _model_xy(model):
     return X, Y
 
 
-def _grid_1d(model, resolution=200):
+def _grid_1d(model, resolution=200, bounds=None):
+    if bounds is not None:
+        lo, hi = bounds[0]
+        return np.linspace(lo, hi, resolution)[:, None]
     X, _ = _model_xy(model)
     lo, hi = X[:, 0].min(), X[:, 0].max()
     pad = 0.1 * (hi - lo + 1e-9)
@@ -277,11 +280,11 @@ def plot_data(model, ax=None, filename=None):
     return fig
 
 
-def plot_mean(model, ax=None, resolution=200, filename=None):
+def plot_mean(model, ax=None, resolution=200, filename=None, bounds=None):
     """(gpy_plot/gp_plots.py plot_mean)"""
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
-    xs = _grid_1d(model, resolution)
+    xs = _grid_1d(model, resolution, bounds)
     mu, _ = _predict_np(model, xs)
     pl.plot(axes[0], xs[:, 0], mu, color="b", label="mean")
     if filename and fig is not None:
@@ -290,13 +293,13 @@ def plot_mean(model, ax=None, resolution=200, filename=None):
 
 
 def plot_confidence(model, ax=None, resolution=200, lower=2.5, upper=97.5,
-                    filename=None):
+                    filename=None, bounds=None):
     """(gpy_plot/gp_plots.py plot_confidence): central credible band."""
     from scipy.stats import norm
 
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
-    xs = _grid_1d(model, resolution)
+    xs = _grid_1d(model, resolution, bounds)
     mu, sd = _predict_np(model, xs)
     zl, zu = norm.ppf(lower / 100.0), norm.ppf(upper / 100.0)
     pl.fill_between(axes[0], xs[:, 0], mu + zl * sd, mu + zu * sd, alpha=0.3,
@@ -307,14 +310,14 @@ def plot_confidence(model, ax=None, resolution=200, lower=2.5, upper=97.5,
 
 
 def plot_samples(model, ax=None, resolution=200, samples=3, key=None,
-                 filename=None):
+                 filename=None, bounds=None):
     """(gpy_plot/gp_plots.py plot_samples): posterior function draws."""
     import jax
     import jax.numpy as jnp
 
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
-    xs = _grid_1d(model, resolution)
+    xs = _grid_1d(model, resolution, bounds)
     key = key if key is not None else jax.random.PRNGKey(0)
     S = np.asarray(model.posterior_samples_f(jnp.asarray(xs), samples, key))
     for i in range(S.shape[1]):
@@ -343,16 +346,28 @@ def plot_density(model, ax=None, resolution=200, levels=32, filename=None):
     return fig
 
 
-def plot(model, ax=None, resolution=200, samples=0, filename=None, title=None):
+def plot(model, ax=None, resolution=200, samples=0, filename=None, title=None,
+         bounds=None, n_samples=None, key=None):
     """Composite m.plot(): data + mean + confidence (+ samples)
-    (gpy_plot/gp_plots.py plot)."""
+    (gpy_plot/gp_plots.py plot). `bounds`/`n_samples` kept for compatibility
+    with the round-1 plot_gp signature."""
+    if n_samples:
+        samples = n_samples
+    X, _ = _model_xy(model)
+    if X.shape[1] != 1:
+        # 2-D (contour) plots keep the round-1 plot_gp renderer
+        from .plotting import plot_gp
+
+        return plot_gp(model, bounds=bounds, filename=filename,
+                       resolution=resolution, n_samples=samples, title=title)
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
     a = axes[0]
-    plot_confidence(model, ax=a, resolution=resolution)
-    plot_mean(model, ax=a, resolution=resolution)
+    plot_confidence(model, ax=a, resolution=resolution, bounds=bounds)
+    plot_mean(model, ax=a, resolution=resolution, bounds=bounds)
     if samples:
-        plot_samples(model, ax=a, resolution=resolution, samples=samples)
+        plot_samples(model, ax=a, resolution=resolution, samples=samples,
+                     bounds=bounds, key=key)
     plot_data(model, ax=a)
     pl.legend(a)
     pl.set_labels(a, xlabel="x", ylabel="f(x)", title=title)
