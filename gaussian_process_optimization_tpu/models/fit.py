@@ -68,6 +68,7 @@ class Fitter:
         tol: float = 1e-5,
         history: int = 10,
         jit: bool = True,
+        max_ls: int = 8,
     ):
         self.packer = make_packer(
             template_model, fix=fix, transform_overrides=transform_overrides
@@ -91,9 +92,13 @@ class Fitter:
                 starts = u0[None]
 
             def solve(u):
+                # max_ls=8: every backtrack is a full forward (Cholesky) for the
+                # WHOLE restart batch; a lane that cannot improve within 8
+                # halvings freezes (the scipy-lbfgsb ABNORMAL_TERMINATION
+                # analog, optimizer.py:54-56) instead of gating the batch.
                 return lbfgs.minimize(
                     lambda uu: obj(uu, model), u, maxiter=maxiter, tol=tol,
-                    history=history,
+                    history=history, max_ls=max_ls,
                 )
 
             res = jax.vmap(solve)(starts)
