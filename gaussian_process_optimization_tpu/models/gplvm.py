@@ -63,7 +63,20 @@ def fit_gplvm(model, maxiter=500, key=None):
 
 
 # ------------------------------------------------------- RBF psi statistics
+def rbf_psi_stats_n(kern, Z, mu, S):
+    """Like rbf_psi_stats but returns the PER-POINT psi2 (N, M, M) un-summed
+    (GPy kern.psi2n) — needed by predictive variances that weight per-point
+    (e.g. the LVMOGP row side, vardtc_svi_multiout.py _raw_predict)."""
+    psi0, psi1, psi2n = _rbf_psi_core(kern, Z, mu, S)
+    return psi0, psi1, psi2n
+
+
 def rbf_psi_stats(kern, Z, mu, S):
+    psi0, psi1, psi2n = _rbf_psi_core(kern, Z, mu, S)
+    return psi0, psi1, jnp.sum(psi2n, axis=0)
+
+
+def _rbf_psi_core(kern, Z, mu, S):
     """Closed-form Gaussian expectations of the RBF kernel
     (GPy kern/src/psi_comp/rbf_psi_comp.py):
       psi0 = sum_n <k(x_n, x_n)>         = N * variance
@@ -96,7 +109,7 @@ def rbf_psi_stats(kern, Z, mu, S):
     psi2 = jnp.square(var) * cross[None, :, :] * jnp.exp(
         -quad - 0.5 * logdet2[:, None, None]
     )
-    return psi0, psi1, jnp.sum(psi2, axis=0)
+    return psi0, psi1, psi2  # (N, M, M) per-point; callers sum as needed
 
 
 # ------------------------------------------------------- Bayesian GPLVM bound
