@@ -4,7 +4,7 @@ from .gower import Gower
 from .linear import Linear
 from .other import MLP, Brownian, Coregionalize, Poly, Spline, StandardPeriodic
 from .integral import Integral, IntegralLimits, MultidimensionalIntegralLimits
-from .lfm import EQ_ODE1
+from .lfm import EQ_ODE1, EQ_ODE2
 from .misc import (
     BasisFuncKernel,
     ChangePointBasisFuncKernel,
@@ -41,7 +41,7 @@ __all__ = [
     "Exponential", "ExpQuad", "Matern32", "Matern52", "RatQuad", "Sinc", "Stationary",
     "safe_sqrt", "sq_dist", "Integral", "PeriodicExponential", "PeriodicMatern32",
     "PeriodicMatern52", "GridRBF", "SplitKern", "DEtime", "MultioutputKern",
-    "EQ_ODE1", "TruncLinear", "Symmetric", "BasisFuncKernel",
+    "EQ_ODE1", "EQ_ODE2", "TruncLinear", "Symmetric", "BasisFuncKernel",
     "PolynomialBasisFuncKernel", "LinearSlopeBasisFuncKernel",
     "ChangePointBasisFuncKernel", "DomainKernel", "LogisticBasisFuncKernel",
     "IndependentOutputs", "IntegralLimits", "MultidimensionalIntegralLimits",

@@ -137,3 +137,166 @@ class EQ_ODE1(Kernel):
 
     def Kdiag(self, X):
         return jnp.diagonal(self.K(X))
+
+
+# ----------------------------------------------------------- second-order LFM
+
+
+def _wofz_any(z):
+    """Faddeeva on the whole plane: w(z) = 2 exp(-z^2) - w(-z) for Im(z) < 0
+    (the exponent stays bounded for this kernel's argument ranges)."""
+    from ..ops.special import wofz
+
+    lower = jnp.imag(z) < 0
+    zs = jnp.where(lower, -z, z)
+    w_up = wofz(zs)
+    return jnp.where(lower, 2.0 * jnp.exp(-(z**2)) - w_up, w_up)
+
+
+def _upsilon(g, l, t, t2):
+    """Stable Upsilon(g; t, t') = e^{nu^2 - g(t-t')}[erf((t-t')/l - nu)
+    + erf(t'/l + nu)], nu = g l/2, for COMPLEX decay g — rewritten so every
+    exponent has bounded real part (the exp(nu^2) erf(...) products overflow
+    in their naive form; same device as Alvarez's LFM implementations and the
+    reference's eq_ode2.py wofz usage)."""
+    nu = g * l / 2.0
+    tau = t - t2
+    term1 = 2.0 * jnp.exp(nu**2 - g * tau)
+    term2 = jnp.exp(-((tau / l) ** 2)) * _wofz_any(1j * (tau / l - nu))
+    term3 = jnp.exp(-g * t - (t2 / l) ** 2) * _wofz_any(1j * (t2 / l + nu))
+    return term1 - term2 - term3
+
+
+def _upsilon0(gk, gj, l, t, t2):
+    """Stable e^{nu_k^2 - gk t - gj t'} [erf(t/l - nu_k) + erf(nu_k)]."""
+    from ..ops.special import wofz
+
+    nu = gk * l / 2.0
+    term1 = 2.0 * jnp.exp(nu**2 - gk * t - gj * t2)
+    term2 = jnp.exp(-((t / l) ** 2) - gj * t2) * _wofz_any(1j * (t / l - nu))
+    term3 = jnp.exp(-gk * t - gj * t2) * wofz(1j * nu)
+    return term1 - term2 - term3
+
+
+def _h_complex(t, t2, gj, gk, l):
+    """First-order h-function at complex decays (cf. EQ_ODE1._h), stable form."""
+    return (_upsilon(gk, l, t, t2) - _upsilon0(gk, gj, l, t, t2)) / (gj + gk)
+
+
+def _kff1_complex(t, gj, t2, gk, l):
+    """First-order double-integral covariance at complex decays
+    (cf. EQ_ODE1._k_ff; includes the sqrt(pi) l / 2 factor)."""
+    return (_SQPI * l / 2.0) * (
+        _h_complex(t2, t, gj, gk, l) + _h_complex(t, t2, gk, gj, l)
+    )
+
+
+@pytree_dataclass
+class EQ_ODE2(Kernel):
+    """Second-order latent force model (GPy/GPy/kern/src/eq_ode2.py; Alvarez,
+    Luengo & Lawrence LFM):
+
+        d2y_j/dt2 + C_j dy_j/dt + B_j y_j = sum_r w_{jr} u_r(t),
+        u_r ~ GP(0, exp(-(t-t')^2 / l_r^2)).
+
+    The Green's function e^{-alpha t} sin(omega t)/omega (alpha = C/2,
+    omega = sqrt(B - C^2/4), COMPLEX for overdamped systems) splits into two
+    complex-decay first-order responses gamma = alpha -+ i omega, so every
+    covariance is a signed combination of the (already quadrature-validated)
+    first-order closed forms evaluated at complex decays — the reference's
+    1370 lines of per-block loops and case splits become one complex-arithmetic
+    expression. Same (time, function-index) input layout as EQ_ODE1.
+    """
+
+    W: jnp.ndarray = None  # (output_dim, rank)
+    lengthscale: jnp.ndarray = None  # (rank,)
+    C: jnp.ndarray = None  # (output_dim,) damping
+    B: jnp.ndarray = None  # (output_dim,) spring
+    output_dim: int = static_field(default=1)
+    rank: int = static_field(default=1)
+
+    @classmethod
+    def create(cls, output_dim=1, rank=1, W=None, lengthscale=None, C=None,
+               B=None, seed=0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        if lengthscale is None:
+            lengthscale = 0.5 + rng.random(rank)
+        if W is None:
+            W = 0.5 * rng.standard_normal((output_dim, rank)) / np.sqrt(rank)
+        if C is None:
+            C = np.ones(output_dim)
+        if B is None:
+            B = np.ones(output_dim)
+        return cls(
+            input_dim=2,
+            W=jnp.asarray(W, dtype=float).reshape(output_dim, rank),
+            lengthscale=jnp.broadcast_to(
+                jnp.asarray(lengthscale, dtype=float).reshape(-1), (rank,)),
+            C=jnp.broadcast_to(jnp.asarray(C, dtype=float).reshape(-1),
+                               (output_dim,)),
+            B=jnp.broadcast_to(jnp.asarray(B, dtype=float).reshape(-1),
+                               (output_dim,)),
+            output_dim=output_dim, rank=rank,
+        )
+
+    def _gammas(self):
+        alpha = self.C / 2.0
+        omega = jnp.sqrt(self.B.astype(jnp.complex128) - alpha**2)
+        g1 = alpha + 1j * omega  # pairs with sign -1 in the Green's function
+        g2 = alpha - 1j * omega  # sign +1
+        return g1, g2, omega
+
+    def _k_uu(self, t, t2, l):
+        return jnp.exp(-jnp.square(t - t2) / jnp.square(l))
+
+    @staticmethod
+    def _fu_grid(g1, g2, om, l, T_out, T_lat):
+        """Cov[y(t_out), u(t_lat)] with pre-broadcast complex decay grids:
+        Re{ (sqrt(pi) l/2) [Upsilon(g2) - Upsilon(g1)] / (2 i omega) }."""
+        up = _upsilon(g2, l, T_out, T_lat) - _upsilon(g1, l, T_out, T_lat)
+        return jnp.real((_SQPI * l / 2.0) * up / (2j * om))
+
+    @staticmethod
+    def _ff_grid(a1, a2, oj, b1, b2, ok, l, T1, T2):
+        """Signed 2x2 combination of complex first-order double integrals,
+        divided by (2 i omega_j)(2 i omega_k) = -4 omega_j omega_k."""
+        num = (_kff1_complex(T1, a2, T2, b2, l) - _kff1_complex(T1, a2, T2, b1, l)
+               - _kff1_complex(T1, a1, T2, b2, l) + _kff1_complex(T1, a1, T2, b1, l))
+        return jnp.real(num / (-4.0 * oj * ok))
+
+    def K(self, X, X2=None):
+        X2c = X if X2 is None else X2
+        t1, i1 = X[:, 0], X[:, -1].astype(int)
+        t2, i2 = X2c[:, 0], X2c[:, -1].astype(int)
+        P = self.output_dim
+        is_out1 = (i1 < P)[:, None]
+        is_out2 = (i2 < P)[None, :]
+        j1 = jnp.clip(i1, 0, P - 1)
+        j2 = jnp.clip(i2, 0, P - 1)
+        g1, g2, omega = self._gammas()
+        a1, a2, oj = g1[j1][:, None], g2[j1][:, None], omega[j1][:, None]
+        b1, b2, ok = g1[j2][None, :], g2[j2][None, :], omega[j2][None, :]
+        T1 = t1[:, None]
+        T2 = t2[None, :]
+        out = jnp.zeros((X.shape[0], X2c.shape[0]), dtype=X.dtype)
+        for r in range(self.rank):
+            l = self.lengthscale[r]
+            w1 = self.W[j1, r][:, None]
+            w2 = self.W[j2, r][None, :]
+            ff = w1 * w2 * self._ff_grid(a1, a2, oj, b1, b2, ok, l, T1, T2)
+            out = out + jnp.where(is_out1 & is_out2, ff, 0.0)
+            lat2_is_r = (i2 == P + r)[None, :]
+            fu = w1 * self._fu_grid(a1, a2, oj, l, T1, T2)
+            out = out + jnp.where(is_out1 & lat2_is_r, fu, 0.0)
+            lat1_is_r = (i1 == P + r)[:, None]
+            # rows are the latent times, columns the outputs
+            uf = w2 * self._fu_grid(b1, b2, ok, l, T2, T1)
+            out = out + jnp.where(lat1_is_r & is_out2, uf, 0.0)
+            uu = self._k_uu(T1, T2, l)
+            out = out + jnp.where(lat1_is_r & lat2_is_r, uu, 0.0)
+        return out
+
+    def Kdiag(self, X):
+        return jnp.diagonal(self.K(X))

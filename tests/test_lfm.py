@@ -61,6 +61,89 @@ def test_full_K_block_structure_and_psd(rng):
                                rtol=1e-8)
 
 
+def test_wofz_and_cerf_match_scipy(rng):
+    from scipy.special import erf as serf
+    from scipy.special import wofz as swofz
+
+    from gaussian_process_optimization_tpu.ops.special import cerf, wofz
+
+    z = rng.standard_normal(100) * 3 + 1j * np.abs(rng.standard_normal(100)) * 3
+    np.testing.assert_allclose(np.asarray(wofz(jnp.asarray(z))), swofz(z),
+                               atol=1e-12)
+    zr = rng.standard_normal(60) * 4
+    np.testing.assert_allclose(np.asarray(cerf(jnp.asarray(zr + 0j))), serf(zr),
+                               atol=1e-12)
+
+
+def _green2(ts, alpha, omega):
+    """Second-order Green's function e^{-alpha t} sin(omega t)/omega (works for
+    complex omega via numpy complex math)."""
+    om = complex(omega)
+    return np.real(np.exp(-alpha * ts) * np.sin(om * ts) / om)
+
+
+@pytest.mark.parametrize("C,B", [(1.0, 3.0), (3.0, 1.0)])  # under/over-damped
+def test_eq_ode2_k_fu_matches_quadrature(C, B):
+    from gaussian_process_optimization_tpu.kernels.lfm import EQ_ODE2
+
+    l = 0.7
+    k = EQ_ODE2.create(output_dim=1, rank=1, W=[[1.0]], lengthscale=[l],
+                       C=[C], B=[B])
+    alpha = C / 2.0
+    omega = np.sqrt(complex(B - alpha**2))
+    n = 4000
+    for t in (0.6, 1.5, 2.5):
+        for tp in (0.4, 1.2):
+            s = np.linspace(0, t, n)
+            num = np.trapezoid(_green2(t - s, alpha, omega) * _k_eq(s, tp, l), s)
+            X = np.array([[t, 0.0]])
+            X2 = np.array([[tp, 1.0]])
+            got = float(k.K(jnp.asarray(X), jnp.asarray(X2))[0, 0])
+            np.testing.assert_allclose(got, num, rtol=3e-3, atol=1e-7)
+
+
+@pytest.mark.parametrize("C,B", [(1.0, 3.0), (3.0, 1.0)])
+def test_eq_ode2_k_ff_matches_double_quadrature(C, B):
+    from gaussian_process_optimization_tpu.kernels.lfm import EQ_ODE2
+
+    l = 0.6
+    C2, B2 = 0.8, 2.0
+    k = EQ_ODE2.create(output_dim=2, rank=1, W=[[1.0], [1.0]], lengthscale=[l],
+                       C=[C, C2], B=[B, B2])
+    a1, o1 = C / 2.0, np.sqrt(complex(B - C**2 / 4))
+    a2, o2 = C2 / 2.0, np.sqrt(complex(B2 - C2**2 / 4))
+    n = 600
+    for t in (0.9, 1.8):
+        for tp in (0.5, 1.4):
+            s = np.linspace(0, t, n)
+            sp = np.linspace(0, tp, n)
+            S, SP = np.meshgrid(s, sp, indexing="ij")
+            integ = (_green2(t - S, a1, o1) * _green2(tp - SP, a2, o2)
+                     * _k_eq(S, SP, l))
+            num = np.trapezoid(np.trapezoid(integ, sp, axis=1), s)
+            X = np.array([[t, 0.0]])
+            X2 = np.array([[tp, 1.0]])
+            got = float(k.K(jnp.asarray(X), jnp.asarray(X2))[0, 0])
+            np.testing.assert_allclose(got, num, rtol=1e-2, atol=1e-7)
+
+
+def test_eq_ode2_full_K_psd(rng):
+    from gaussian_process_optimization_tpu.kernels.lfm import EQ_ODE2
+
+    k = EQ_ODE2.create(output_dim=2, rank=1, W=[[0.9], [1.1]], lengthscale=[0.8],
+                       C=[1.0, 2.5], B=[3.0, 1.0])
+    t = np.sort(rng.uniform(0.1, 3, 7))
+    X = np.vstack([
+        np.column_stack([t, np.zeros_like(t)]),
+        np.column_stack([t, np.ones_like(t)]),
+        np.column_stack([t, np.full_like(t, 2.0)]),
+    ])
+    K = np.asarray(k.K(jnp.asarray(X)))
+    np.testing.assert_allclose(K, K.T, atol=1e-8)
+    assert np.linalg.eigvalsh(K).min() > -1e-7
+    assert np.all(np.isfinite(K))
+
+
 def test_lfm_gp_regression_smoke(rng):
     """Joint GP over (outputs, latent): inferring the latent force from output
     observations must correlate with the truth."""
