@@ -190,6 +190,113 @@ class LVMOGP:
         return mu, jnp.clip(var, 1e-15, None)
 
 
+@pytree_dataclass
+class LVMOGP_MD:
+    """Missing-data LVMOGP (GPy models/gp_multiout_regression_md.py +
+    vardtc_svi_multiout_miss.py): observations are a STACKED list
+    (x_i, d_i, y_i) — each output d observed at its own inputs. The bound is
+    the same matrix-variate-q(U) SVI bound evaluated pointwise:
+
+        sum_i E[log N(y_i | f(x_i, h_{d_i}), beta^-1)] - KL(q(U)) - KL(q(H))
+
+    On a complete output grid it equals LVMOGP.elbo() exactly (tested)."""
+
+    kern_c: object = None
+    kern_r: object = None
+    likelihood_variance: jnp.ndarray = None
+    Zc: jnp.ndarray = None
+    Zr: jnp.ndarray = None
+    q_Hmu: jnp.ndarray = None
+    q_HS: jnp.ndarray = None
+    qU_mean: jnp.ndarray = None
+    qU_Ac: jnp.ndarray = None
+    qU_Ar: jnp.ndarray = None
+    X: jnp.ndarray = None  # (n_obs, Qc)
+    out_idx: jnp.ndarray = None  # (n_obs,) int output index
+    Y: jnp.ndarray = None  # (n_obs,)
+
+    @classmethod
+    def create(cls, X, out_idx, Y, D, Xr_dim, kernel=None, kernel_row=None,
+               num_inducing=(10, 5), noise_var=0.1, seed=0):
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        Y = np.asarray(Y, dtype=float).reshape(-1)
+        out_idx = np.asarray(out_idx, dtype=int).reshape(-1)
+        rng = np.random.default_rng(seed)
+        Mc, Mr = num_inducing
+        kernel = kernel or RBF.create(X.shape[1])
+        kernel_row = kernel_row or RBF.create(Xr_dim, ARD=True)
+        H0 = rng.standard_normal((D, Xr_dim)) * 0.5
+        Zc = X[rng.permutation(X.shape[0])[:Mc]].copy()
+        Zr = H0[rng.permutation(D)[:Mr]].copy()
+        return cls(
+            kern_c=kernel, kern_r=kernel_row,
+            likelihood_variance=jnp.asarray(noise_var, dtype=float).reshape(()),
+            Zc=jnp.asarray(Zc), Zr=jnp.asarray(Zr),
+            q_Hmu=jnp.asarray(H0), q_HS=0.1 * jnp.ones((D, Xr_dim)),
+            qU_mean=0.01 * jnp.asarray(rng.standard_normal((Mc, Mr))),
+            qU_Ac=jnp.eye(Mc) * -1.0, qU_Ar=jnp.eye(Mr) * -1.0,
+            X=jnp.asarray(X), out_idx=jnp.asarray(out_idx), Y=jnp.asarray(Y),
+        )
+
+    def elbo(self):
+        Lc, Lr, LSc, LSr = LVMOGP._common(self)
+        beta = 1.0 / (self.likelihood_variance + 1e-8)
+        n_obs = self.Y.shape[0]
+
+        psi1_c = self.kern_c.K(self.X, self.Zc)  # (n_obs, Mc)
+        psi0_c = self.kern_c.Kdiag(self.X)  # (n_obs,)
+        P1c = linalg.solve_lower(Lc, psi1_c.T)  # (Mc, n_obs)
+        D = self.q_Hmu.shape[0]
+        _, psi1_r, psi2_r_n = rbf_psi_stats_n(self.kern_r, self.Zr,
+                                              self.q_Hmu, self.q_HS)
+        psi0_r = jnp.broadcast_to(self.kern_r.variance, (D,))
+        P1r = linalg.solve_lower(Lr, psi1_r.T)  # (Mr, D)
+        Mt = linalg.solve_lower(Lc, linalg.solve_lower(Lr, self.qU_mean.T).T)
+        LcInvLSc = linalg.solve_lower(Lc, LSc)
+        LrInvLSr = linalg.solve_lower(Lr, LSr)
+        Sc_t = LcInvLSc @ LcInvLSc.T
+        Sr_t = LrInvLSr @ LrInvLSr.T
+
+        def whiten(p2):
+            return linalg.solve_lower(Lr, linalg.solve_lower(Lr, p2).T).T
+
+        P2rn = jax.vmap(whiten)(psi2_r_n)  # (D, Mr, Mr)
+        # per-output row quantities, gathered per observation
+        d = self.out_idx
+        Ef = jnp.einsum("ci,cr,ri->i", P1c, Mt, P1r[:, d])  # (n_obs,)
+        # E[f^2] over q(U), q(H): with per-point row psi2
+        M_P2_M = jnp.einsum("cr,dru,su->dcs", Mt, P2rn, Mt)  # (D, Mc, Mc)
+        Ef2_m = jnp.einsum("dcs,ci,si->id", M_P2_M, P1c, P1c)
+        Ef2_m = Ef2_m[jnp.arange(n_obs), d]
+        tr_P2_Sr = jnp.einsum("dru,ru->d", P2rn, Sr_t)  # (D,)
+        Sc_quad = jnp.einsum("cs,ci,si->i", Sc_t, P1c, P1c)
+        Ef2_S = tr_P2_Sr[d] * Sc_quad
+        Ef2 = Ef2_m + Ef2_S
+        # residual: E[k_c k_r] - E[q_c q_r]
+        qc = jnp.sum(jnp.square(P1c), axis=0)
+        tr_P2rn = jnp.trace(P2rn, axis1=1, axis2=2)
+        resid = psi0_c * psi0_r[d] - qc * tr_P2rn[d]
+        data = (
+            -0.5 * n_obs * (LOG_2_PI - jnp.log(beta))
+            - 0.5 * beta * jnp.sum(jnp.square(self.Y) - 2.0 * self.Y * Ef
+                                   + Ef2 + resid)
+        )
+        # KL(q(U) || p(U)), matrix-variate (same algebra as LVMOGP.elbo)
+        Mc, Mr = self.Zc.shape[0], self.Zr.shape[0]
+        kl_u = 0.5 * (
+            jnp.sum(jnp.square(LrInvLSr)) * jnp.sum(jnp.square(LcInvLSc))
+            + jnp.sum(jnp.square(Mt)) - Mc * Mr
+            + 2.0 * Mc * (jnp.sum(jnp.log(jnp.diagonal(Lr)))
+                          - jnp.sum(jnp.log(jnp.diagonal(LSr))))
+            + 2.0 * Mr * (jnp.sum(jnp.log(jnp.diagonal(Lc)))
+                          - jnp.sum(jnp.log(jnp.diagonal(LSc))))
+        )
+        return data - kl_u - gaussian_kl(self.q_Hmu, self.q_HS)
+
+    def log_marginal_likelihood(self):
+        return self.elbo()
+
+
 def fit_lvmogp(model: LVMOGP, maxiter=500):
     """L-BFGS over all parameters (kernels, noise, Z's, q(H), q(U))."""
     from ..ops import lbfgs

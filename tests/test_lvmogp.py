@@ -99,6 +99,46 @@ def test_predict_matches_dense_oracle(rng):
     np.testing.assert_allclose(np.asarray(var), var_o, rtol=1e-3, atol=1e-6)
 
 
+def test_lvmogp_md_equals_grid_on_complete_data(rng):
+    """Missing-data LVMOGP on a COMPLETE grid must equal the grid model's bound
+    exactly (vardtc_svi_multiout_miss vs vardtc_svi_multiout identity)."""
+    from gaussian_process_optimization_tpu.models.lvmogp import LVMOGP_MD
+
+    m = _small_model(rng, S_h=0.3)  # genuinely uncertain rows
+    N, D = m.Y.shape
+    X = np.asarray(m.X)
+    Xs = np.repeat(X, D, axis=0)
+    out_idx = np.tile(np.arange(D), N)
+    ys = np.asarray(m.Y).reshape(-1)
+    md = LVMOGP_MD(
+        kern_c=m.kern_c, kern_r=m.kern_r,
+        likelihood_variance=m.likelihood_variance, Zc=m.Zc, Zr=m.Zr,
+        q_Hmu=m.q_Hmu, q_HS=m.q_HS, qU_mean=m.qU_mean, qU_Ac=m.qU_Ac,
+        qU_Ar=m.qU_Ar, X=jnp.asarray(Xs), out_idx=jnp.asarray(out_idx),
+        Y=jnp.asarray(ys),
+    )
+    np.testing.assert_allclose(float(md.elbo()), float(m.elbo()), rtol=1e-8)
+
+
+def test_lvmogp_md_ragged_finite(rng):
+    from gaussian_process_optimization_tpu.models.lvmogp import LVMOGP_MD
+
+    # each of 3 outputs observed at its own inputs
+    X = np.concatenate([rng.uniform(0, 3, (8, 1)), rng.uniform(0, 3, (5, 1)),
+                        rng.uniform(0, 3, (11, 1))])
+    out_idx = np.concatenate([np.zeros(8), np.ones(5), np.full(11, 2)])
+    Y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(24) + 0.3 * out_idx
+    md = LVMOGP_MD.create(X, out_idx, Y, D=3, Xr_dim=2, num_inducing=(6, 2),
+                          noise_var=0.2, seed=0)
+    e = float(md.elbo())
+    assert np.isfinite(e)
+    import jax as _jax
+
+    # out_idx is an integer leaf -> allow_int (fitters fix it via the packer)
+    g = _jax.grad(lambda mm: mm.elbo(), allow_int=True)(md)
+    assert np.isfinite(float(jnp.sum(g.q_Hmu)))
+
+
 def test_lvmogp_fit_improves_and_predicts(rng):
     """Correlated outputs toy: shared latent function bank, D=6 outputs from a
     2-D embedding; fitting must raise the ELBO and track the signal."""
