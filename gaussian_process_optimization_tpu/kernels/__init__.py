@@ -17,6 +17,8 @@ from .misc import (
     TruncLinear,
 )
 from .periodic_rkhs import PeriodicExponential, PeriodicMatern32, PeriodicMatern52
+from .ode import ODE_UY, ODE_UYC, ODE_st, ODE_t
+from .symbolic import SymbolicKernel
 from .split import DEtime, MultioutputKern, SplitKern
 from .static import Bias, Fixed, White, WhiteHeteroscedastic
 from .stationary import (
@@ -45,6 +47,7 @@ __all__ = [
     "PolynomialBasisFuncKernel", "LinearSlopeBasisFuncKernel",
     "ChangePointBasisFuncKernel", "DomainKernel", "LogisticBasisFuncKernel",
     "IndependentOutputs", "IntegralLimits", "MultidimensionalIntegralLimits",
+    "ODE_UY", "ODE_UYC", "ODE_t", "ODE_st", "SymbolicKernel",
 ]
 
 

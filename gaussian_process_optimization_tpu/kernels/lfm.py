@@ -300,3 +300,26 @@ class EQ_ODE2(Kernel):
 
     def Kdiag(self, X):
         return jnp.diagonal(self.K(X))
+
+    def Kdiag_per_force(self, X):
+        """Per-latent-force diagonal decomposition for OUTPUT rows:
+        Kdiag(x_n) = sum_r out[n, r] with out[n, r] = w_{d_n r}^2 k^{(r)}_ff(t_n, t_n).
+        Latent rows get the indicator of their own force (k_uu(t,t) = 1).
+        This is the reference's `kern._Kdiag` consumed by the IBP-LFM psi-0
+        statistic (GPy models/ibp_lfm.py:62,80: `psi0 = kern._Kdiag(X)`,
+        `psi0_full += np.sum(psi0 * Zp[indX, :])`)."""
+        t1 = X[:, 0]
+        i1 = jnp.rint(X[:, -1]).astype(int)
+        P = self.output_dim
+        is_out = i1 < P
+        j = jnp.clip(i1, 0, P - 1)
+        g1, g2, omega = self._gammas()
+        a1, a2, oj = g1[j], g2[j], omega[j]
+        cols = []
+        for r in range(self.rank):
+            l = self.lengthscale[r]
+            w = self.W[j, r]
+            ff = w * w * self._ff_grid(a1, a2, oj, a1, a2, oj, l, t1, t1)
+            lat_is_r = (i1 == P + r)
+            cols.append(jnp.where(is_out, ff, jnp.where(lat_is_r, 1.0, 0.0)))
+        return jnp.stack(cols, axis=1)

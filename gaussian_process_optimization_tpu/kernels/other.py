@@ -203,11 +203,16 @@ class Coregionalize(Kernel):
     def K(self, X, X2=None):
         X = self._slice(X)
         X2c = X if X2 is None else self._slice(X2)
-        i1 = X[:, 0].astype(jnp.int32)
-        i2 = X2c[:, 0].astype(jnp.int32)
+        # rint (not truncation): task columns inside trainable inducing inputs
+        # get exactly-zero gradients through the rounding, so gradient fitting
+        # cannot move them off their integer values — the analog of the
+        # reference fixing the inducing task column
+        # (sparse_gp_coregionalized_regression.py:66).
+        i1 = jnp.rint(X[:, 0]).astype(jnp.int32)
+        i2 = jnp.rint(X2c[:, 0]).astype(jnp.int32)
         return self.B[i1][:, i2]
 
     def Kdiag(self, X):
         X = self._slice(X)
-        i1 = X[:, 0].astype(jnp.int32)
+        i1 = jnp.rint(X[:, 0]).astype(jnp.int32)
         return jnp.diagonal(self.B)[i1]

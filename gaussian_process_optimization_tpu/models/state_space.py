@@ -16,12 +16,26 @@ Supported forms:
 - 'quasiperiodic_matern12' / 'quasiperiodic_matern32' — periodic x Matern
   products via the Kronecker-sum composition F = F_p (+) F_m,
   P_inf = P_p (x) P_m, H = H_p (x) H_m (``state_space_main.py`` kernel products);
+- 'white' / 'bias' — static kernels (``GPy/GPy/kern/src/sde_static.py:13,61``):
+  white is the degenerate F=-inf process (A=0, Q=P_inf per step), bias a frozen
+  random constant (F=0, Q=0);
+- 'brownian' — Brownian motion (``sde_brownian.py:13``): F=0, Qc=sigma^2, P0=0,
+  time origin at t=0 (non-stationary);
+- 'linear' — Bayesian linear regression (``sde_linear.py:12``): integrator state
+  [f, f'], Qc=0, P0 = sigma^2 [[t0^2, t0],[t0, 1]], time origin at t=0;
+- 'rbf' — the RBF/ExpQuad kernel to spectral order N
+  (``sde_stationary.py:20-166``): Taylor expansion of the spectral density,
+  companion F from the stable roots (unit-lengthscale roots are static
+  constants, lengthscale scaling is exact so the form stays differentiable),
+  P_inf from a vectorized Lyapunov solve, diagonally balanced
+  (``state_space_main.py balance_ss_model`` analog);
 - SUMS of any of the above: family passed as a tuple -> block-diagonal stacking
   (``state_space_main.py`` AddKalman-style combination), per-component
   variance/lengthscale/period vectors.
 
-The discretization A = expm(F dt), Q = P_inf - A P_inf A^T (exact for stationary
-forms) is generic across all of these, so combination = matrix stacking only.
+Discretization: stationary forms use A = expm(F dt), Q = P_inf - A P_inf A^T
+(exact); non-stationary forms (brownian/linear) use the Van Loan block-expm
+Q = Phi_12 A^T with the filter clock started at t=0.
 """
 from __future__ import annotations
 
@@ -105,6 +119,65 @@ def _periodic_blocks(variance, lengthscale, period, order, dtype):
     return F, P_inf, H
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _rbf_companion_constants(order):
+    """Unit-lengthscale stable-root companion coefficients for the RBF spectral
+    approximation (sde_stationary.py:93-120). The Taylor polynomial
+    sum_n N! (4 kappa)^{N-n} / n! (-1)^n x^{2(N-n)} has roots x_i = y_i / l where
+    y_i are the (static) unit-lengthscale roots, so the monic coefficient a_j
+    scales exactly as l^{-j}; only these constants need host numpy."""
+    N = int(order)
+    fn = math.factorial(N)
+    pp = np.zeros(2 * N + 1)
+    for n in range(N + 1):
+        # at l=1: kappa = 1/2 -> (4 kappa)^(N-n) = 2^(N-n)
+        pp[2 * (N - n)] = fn * (2.0 ** (N - n)) / math.factorial(n) * (-1.0) ** n
+    roots = np.roots(pp)
+    neg = roots[np.round(roots.real, 6) < 0]
+    if len(neg) != N:
+        raise ValueError(f"rbf SDE order {N}: expected {N} stable roots, "
+                         f"got {len(neg)}")
+    aa = np.poly(neg)
+    if not np.allclose(aa.imag, 0.0, atol=1e-8):
+        raise ValueError("rbf SDE companion coefficients not real")
+    return aa.real  # monic, descending powers, length N+1
+
+
+def _rbf_blocks(variance, lengthscale, order, dtype):
+    """RBF/ExpQuad kernel to spectral order N (sde_stationary.py:73-166):
+    companion F from the stable spectral roots, Qc = sigma^2 sqrt(2 pi)
+    l^(1-2N) N! 2^N, P_inf from the Lyapunov equation F P + P F^T = -L Qc L^T
+    (solved as a vectorized N^2 linear system — differentiable), then diagonal
+    balancing D = sqrt(diag P_inf) (the balance_ss_model analog,
+    state_space_main.py) so P_inf has unit diagonal — essential in f32."""
+    N = int(order)
+    aa = _rbf_companion_constants(N)
+    # F[-1, j] = -a_{N-j} * l^{-(N-j)}
+    a_tail = jnp.asarray(aa[1:][::-1], dtype=dtype)  # [a_N, ..., a_1] at l=1
+    powers = jnp.arange(N, 0, -1, dtype=dtype)
+    last_row = -a_tail * lengthscale ** (-powers)
+    F = jnp.zeros((N, N), dtype=dtype)
+    F = F.at[jnp.arange(N - 1), jnp.arange(1, N)].set(1.0)
+    F = F.at[N - 1, :].set(last_row)
+    qc = (variance * jnp.sqrt(2.0 * jnp.pi) * lengthscale ** (1 - 2 * N)
+          * math.factorial(N) * (2.0 ** N))
+    rhs = jnp.zeros((N, N), dtype=dtype).at[N - 1, N - 1].set(-qc)
+    eye = jnp.eye(N, dtype=dtype)
+    M = jnp.kron(F, eye) + jnp.kron(eye, F)  # row-major vec(F P + P F^T)
+    P = jnp.linalg.solve(M, rhs.reshape(-1)).reshape(N, N)
+    P = 0.5 * (P + P.T)
+    H = jnp.zeros((1, N), dtype=dtype).at[0, 0].set(1.0)
+    # diagonal balancing
+    d = jnp.sqrt(jnp.clip(jnp.diag(P), 1e-30, None))
+    F_b = F * (d[None, :] / d[:, None])
+    P_b = P / (d[:, None] * d[None, :])
+    H_b = H * d[None, :]
+    return F_b, P_b, H_b
+
+
 def _kron_product(Fa, Pa, Ha, Fb, Pb, Hb):
     """State-space form of the PRODUCT kernel k_a * k_b: Kronecker sum for F,
     Kronecker products for P_inf and H (state_space_main.py kernel products)."""
@@ -123,8 +196,10 @@ def _kernel_to_spec(k):
     the reference wraps each kernel class in an sde_ subclass exposing its
     state-space matrices; here a dispatcher reads the plain kernel objects."""
     from ..kernels.base import Prod
-    from ..kernels.other import StandardPeriodic
-    from ..kernels.stationary import OU, Exponential, Matern32, Matern52
+    from ..kernels.linear import Linear
+    from ..kernels.other import Brownian, StandardPeriodic
+    from ..kernels.static import Bias, White
+    from ..kernels.stationary import OU, RBF, Exponential, Matern32, Matern52
 
     one = 1.0
     if isinstance(k, (OU, Exponential)):
@@ -135,6 +210,20 @@ def _kernel_to_spec(k):
         return ("matern52", k.variance, k.lengthscale, one, one)
     if isinstance(k, StandardPeriodic):
         return ("periodic", k.variance, k.lengthscale, k.period, one)
+    if isinstance(k, RBF):
+        if k.lengthscale.ndim > 0 and k.lengthscale.size > 1:
+            raise ValueError("state-space RBF form is 1-D (no ARD)")
+        return ("rbf", k.variance, jnp.reshape(k.lengthscale, ()), one, one)
+    if isinstance(k, White):
+        return ("white", k.variance, one, one, one)
+    if isinstance(k, Bias):
+        return ("bias", k.variance, one, one, one)
+    if isinstance(k, Brownian):
+        return ("brownian", k.variance, one, one, one)
+    if isinstance(k, Linear):
+        # K = sigma^2 x x'  (sde_linear.py:12 with t0 = 0, carried in the
+        # 'period' slot of the spec)
+        return ("linear", jnp.reshape(k.variances, ()), one, 0.0, one)
     if isinstance(k, Prod) and len(k.parts) == 2:
         ks = k.parts
         per = [p for p in ks if isinstance(p, StandardPeriodic)]
@@ -147,7 +236,8 @@ def _kernel_to_spec(k):
                     per[0].period, mat[0].lengthscale)
     raise ValueError(
         f"no state-space (SDE) form for kernel {type(k).__name__}; supported: "
-        "OU/Exponential, Matern32, Matern52, StandardPeriodic, "
+        "OU/Exponential, Matern32, Matern52, StandardPeriodic, RBF (spectral "
+        "approximation), White, Bias, Brownian, Linear, "
         "StandardPeriodic*Matern products, and Add sums of those"
     )
 
@@ -221,24 +311,61 @@ class StateSpaceGP:
 
     # ------------------------------------------------------------------ matrices
     def _component(self, family, variance, lengthscale, period, ls_damp, dtype):
+        """One kernel component -> (F, Qc_full, P0, H, kind).
+
+        kind: 'stationary' (Q from P_inf - A P_inf A^T; P0 == P_inf),
+        'vanloan' (Q = Phi_12 A^T from the block expm; P0 is the t=0 initial
+        covariance — brownian/linear, sde_brownian.py:35 / sde_linear.py:44),
+        'white' (degenerate F=-inf: A=0, Q=P_inf per step, sde_static.py:35).
+        """
         if family in ("matern12", "matern32", "matern52"):
-            return _matern_blocks(family, variance, lengthscale, dtype)
+            F, P, H = _matern_blocks(family, variance, lengthscale, dtype)
+            return F, None, P, H, "stationary"
         if family == "periodic":
-            return _periodic_blocks(variance, lengthscale, period, self.order,
-                                    dtype)
+            F, P, H = _periodic_blocks(variance, lengthscale, period, self.order,
+                                       dtype)
+            return F, None, P, H, "stationary"
         if family.startswith("quasiperiodic_"):
             m_family = family.split("_", 1)[1]
             Fp, Pp, Hp = _periodic_blocks(variance, lengthscale, period,
                                           self.order, dtype)
             Fm, Pm, Hm = _matern_blocks(m_family, jnp.asarray(1.0, dtype),
                                         ls_damp, dtype)
-            return _kron_product(Fp, Pp, Hp, Fm, Pm, Hm)
+            F, P, H = _kron_product(Fp, Pp, Hp, Fm, Pm, Hm)
+            return F, None, P, H, "stationary"
+        if family == "rbf":
+            F, P, H = _rbf_blocks(variance, lengthscale, self.order, dtype)
+            return F, None, P, H, "stationary"
+        if family == "white":
+            one = jnp.ones((1, 1), dtype=dtype)
+            return jnp.zeros((1, 1), dtype=dtype), None, variance * one, one, \
+                "white"
+        if family == "bias":
+            # F=0 -> A=I, Q = P - P = 0: a frozen random constant
+            one = jnp.ones((1, 1), dtype=dtype)
+            return jnp.zeros((1, 1), dtype=dtype), None, variance * one, one, \
+                "stationary"
+        if family == "brownian":
+            one = jnp.ones((1, 1), dtype=dtype)
+            return (jnp.zeros((1, 1), dtype=dtype), variance * one,
+                    jnp.zeros((1, 1), dtype=dtype), one, "vanloan")
+        if family == "linear":
+            # 'period' slot carries t0 (K = sigma^2 (x + t0)(x' + t0); t0=0 is
+            # the plain Linear kernel). State [f, f'], integrator dynamics.
+            t0 = period
+            F = jnp.zeros((2, 2), dtype=dtype).at[0, 1].set(1.0)
+            Qc = jnp.zeros((2, 2), dtype=dtype)
+            P0 = variance * jnp.stack([
+                jnp.stack([t0 * t0, t0]), jnp.stack([t0, jnp.ones_like(t0)])
+            ])
+            H = jnp.asarray([[1.0, 0.0]], dtype=dtype)
+            return F, Qc, P0, H, "vanloan"
         raise ValueError(f"unsupported state-space family {family!r}")
 
-    def _blocks(self):
+    def _component_specs(self):
         dtype = self.X.dtype
         fams = self.family if isinstance(self.family, tuple) else (self.family,)
-        parts = []
+        specs = []
         for i, fam in enumerate(fams):
             if isinstance(self.family, tuple):
                 v, l = self.variance[i], self.lengthscale[i]
@@ -248,35 +375,66 @@ class StateSpaceGP:
                 p = self.period if self.period is not None else jnp.asarray(1.0, dtype)
                 ld = (self.lengthscale_damp
                       if self.lengthscale_damp is not None else jnp.asarray(1.0, dtype))
-            parts.append(self._component(fam, v, l, p, ld, dtype))
-        if len(parts) == 1:
-            return parts[0]
-        # sum kernel: block-diagonal stacking
-        dims = [F.shape[0] for F, _, _ in parts]
-        d = sum(dims)
-        F = jnp.zeros((d, d), dtype=dtype)
-        P = jnp.zeros((d, d), dtype=dtype)
-        Hs = []
-        off = 0
-        for (Fi, Pi, Hi), di in zip(parts, dims):
-            F = lax.dynamic_update_slice(F, Fi, (off, off))
-            P = lax.dynamic_update_slice(P, Pi, (off, off))
-            Hs.append(Hi)
-            off += di
-        H = jnp.concatenate(Hs, axis=1)
-        return F, P, H
+            specs.append(self._component(fam, v, l, p, ld, dtype))
+        return specs
 
-    def _discretize(self, dts):
-        F, P_inf, H = self._blocks()
+    def _origin_at_zero(self):
+        fams = self.family if isinstance(self.family, tuple) else (self.family,)
+        return any(f in ("brownian", "linear") for f in fams)
+
+    @staticmethod
+    def _discretize_component(spec, dts):
+        F, Qc, P0, H, kind = spec
+        d = F.shape[0]
+        n = dts.shape[0]
         expm = jax.scipy.linalg.expm
+        if kind == "white":
+            A = jnp.zeros((n, d, d), dtype=F.dtype)
+            Q = jnp.broadcast_to(P0, (n, d, d))
+            return A, Q
+        if kind == "stationary":
+            def one(dt):
+                A = expm(F * dt)
+                Q = P0 - A @ P0 @ A.T
+                return A, 0.5 * (Q + Q.T)
+            return jax.vmap(one)(dts)
+        # vanloan: Q(dt) = int_0^dt e^{Fs} Qc e^{F^T s} ds = Phi_12 A^T with
+        # Phi = expm([[F, Qc], [0, -F^T]] dt)  (Van Loan 1978)
+        M = jnp.block([[F, Qc], [jnp.zeros_like(F), -F.T]])
 
         def one(dt):
-            A = expm(F * dt)
-            Q = P_inf - A @ P_inf @ A.T
+            Phi = expm(M * dt)
+            A = Phi[:d, :d]
+            Q = Phi[:d, d:] @ A.T
             return A, 0.5 * (Q + Q.T)
 
-        A, Q = jax.vmap(one)(dts)
-        return A, Q, P_inf, H
+        return jax.vmap(one)(dts)
+
+    def _discretize(self, dts):
+        """Per-step transition A_k and process noise Q_k for the (possibly
+        summed/block-diagonal) model, plus initial covariance P0 and H."""
+        specs = self._component_specs()
+        dtype = self.X.dtype
+        if len(specs) == 1:
+            A, Q = self._discretize_component(specs[0], dts)
+            return A, Q, specs[0][2], specs[0][3]
+        dims = [s[0].shape[0] for s in specs]
+        D = sum(dims)
+        n = dts.shape[0]
+        A = jnp.zeros((n, D, D), dtype=dtype)
+        Q = jnp.zeros((n, D, D), dtype=dtype)
+        P0 = jnp.zeros((D, D), dtype=dtype)
+        Hs = []
+        off = 0
+        for spec, di in zip(specs, dims):
+            Ai, Qi = self._discretize_component(spec, dts)
+            A = A.at[:, off:off + di, off:off + di].set(Ai)
+            Q = Q.at[:, off:off + di, off:off + di].set(Qi)
+            P0 = P0.at[off:off + di, off:off + di].set(spec[2])
+            Hs.append(spec[3])
+            off += di
+        H = jnp.concatenate(Hs, axis=1)
+        return A, Q, P0, H
 
     # ------------------------------------------------------------------ inference
     def _filter(self, t, y, obs_mask):
@@ -284,7 +442,11 @@ class StateSpaceGP:
         (prediction-only steps). Returns per-step filtered (m, P) + lml."""
         order = jnp.argsort(t)
         t_s, y_s, mask_s = t[order], y[order], obs_mask[order]
-        dts = jnp.diff(t_s, prepend=t_s[0:1])
+        # brownian/linear components are pinned at t=0, so the filter clock
+        # starts there; stationary components start at P_inf and are invariant
+        # under the extra propagation.
+        first = t_s[0:1] * 0.0 if self._origin_at_zero() else t_s[0:1]
+        dts = jnp.diff(t_s, prepend=first)
         A, Q, P_inf, H = self._discretize(dts)
         d = P_inf.shape[0]
         R = self.noise_variance
@@ -329,7 +491,8 @@ class StateSpaceGP:
         order, t_s, (mf, Pf), _, A, H, _ = self._filter(t_all, y_all, mask)
 
         # RTS smoother (reverse scan) over the filtered states
-        dts = jnp.diff(t_s, prepend=t_s[0:1])
+        first = t_s[0:1] * 0.0 if self._origin_at_zero() else t_s[0:1]
+        dts = jnp.diff(t_s, prepend=first)
         A2, Q2, P_inf, H2 = self._discretize(dts)
 
         def rts(carry, inp):
