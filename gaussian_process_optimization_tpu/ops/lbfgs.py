@@ -69,6 +69,7 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         x0, f0,                    # best seen
         jnp.asarray(False),        # converged
         jnp.int32(0),              # total line-search trials
+        jnp.asarray(1.0, dtype),   # warm-start trial step t_init
     )
 
     def two_loop(k, g, S, Ys, rho, gamma):
@@ -97,7 +98,7 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
 
     c1 = 1e-4
 
-    def line_search(x, f, g, d, frozen):
+    def line_search(x, f, g, d, frozen, t_init):
         """Backtracking Armijo with VALUE-ONLY trials; ONE value_and_grad at the
         accepted point.
 
@@ -140,18 +141,25 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
             _, _, _, ok, it = state
             return (~ok) & (it < max_ls)
 
-        x1, f1, ok1 = trial(jnp.asarray(1.0, dtype))
-        init = (jnp.asarray(0.5, dtype), x1, f1, ok1, jnp.int32(0))
-        _, x_new, _, ok, n_trials = lax.while_loop(cond, body, init)
+        # Warm-started first trial (each batched backtrack is a full forward
+        # for the WHOLE restart batch): start at min(1, 2 t_prev) so a lane
+        # whose accepted step was t last iteration probes near t again instead
+        # of re-halving from 1 every step; the 2x growth lets it recover full
+        # steps once the direction is well scaled.
+        x1, f1, ok1 = trial(t_init)
+        init = (t_init * 0.5, x1, f1, ok1, jnp.int32(0))
+        t_half, x_new, _, ok, n_trials = lax.while_loop(cond, body, init)
         f_new, g_new = vg(x_new)
-        return x_new, f_new, g_new, ok & ~frozen, n_trials + 1
+        t_acc = t_half * 2.0  # the step of the accepted (last) trial
+        return x_new, f_new, g_new, ok & ~frozen, n_trials + 1, t_acc
 
     def cond(state):
-        k, _, _, _, _, _, _, _, _, _, converged, _ = state
+        k = state[0]
+        converged = state[10]
         return (~converged) & (k < maxiter)
 
     def body(state):
-        k, x, f, g, S, Ys, rho, gamma, xb, fb, frozen, n_ls = state
+        k, x, f, g, S, Ys, rho, gamma, xb, fb, frozen, n_ls, t_init = state
         d = two_loop(k, g, S, Ys, rho, gamma)
         # safeguard: if d is not a descent direction, fall back to steepest descent
         descent = jnp.dot(g, d) < 0
@@ -159,8 +167,12 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         # first iteration: raw-gradient direction, scaled to unit infinity-norm so
         # the t=1 trial is a sane step (saves ~6 batched backtrack forwards)
         d = jnp.where(k == 0, d / jnp.maximum(1.0, jnp.max(jnp.abs(d))), d)
-        x_new, f_new, g_new, ls_ok, n_trials = line_search(x, f, g, d, frozen)
+        x_new, f_new, g_new, ls_ok, n_trials, t_acc = line_search(
+            x, f, g, d, frozen, t_init)
         n_ls = n_ls + n_trials
+        # next first-trial step: grow the accepted step 2x, capped at 1; after
+        # a failed search reset to 1 (the lane freezes anyway)
+        t_init = jnp.where(ls_ok, jnp.minimum(2.0 * t_acc, 1.0), 1.0)
 
         s = x_new - x
         y = g_new - g
@@ -180,10 +192,10 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         small_grad = jnp.max(jnp.abs(pg)) < tol
         converged = frozen | small_grad | (~ls_ok)
         return (k + 1, x_new, f_new, g_new, S, Ys, rho, gamma, xb, fb, converged,
-                n_ls)
+                n_ls, t_init)
 
     final = lax.while_loop(cond, body, init_state)
-    k, _, _, _, _, _, _, _, xb, fb, converged, n_ls = final
+    k, _, _, _, _, _, _, _, xb, fb, converged, n_ls, _ = final
 
     # If even the initial point is non-finite, return x0 (GPyOpt optimizer.py:54-56).
     bad_start = ~jnp.isfinite(f0)
