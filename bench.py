@@ -118,7 +118,8 @@ def run_ours():
 
         def solve(a):
             res = lbfgs.minimize(lambda x: neg_ei(x[None, :])[0], a,
-                                 lower=lo, upper=hi, maxiter=ACQ_STEPS, tol=0.0)
+                                 lower=lo, upper=hi, maxiter=ACQ_STEPS, tol=0.0,
+                                 carry_vjp=False)
             return res.x, res.f
 
         xs, fs = jax.vmap(solve)(anchors)

@@ -154,7 +154,7 @@ class ThompsonBatch(SamplingBasedBatchEvaluator):
             res = lbfgs.minimize(
                 lambda x: acq.pure_neg_acq(gp, post, fmin, state, x[None, :])[0],
                 jnp.asarray(a, dtype=float), lower=jnp.asarray(lo),
-                upper=jnp.asarray(hi), maxiter=opt.maxiter,
+                upper=jnp.asarray(hi), maxiter=opt.maxiter, carry_vjp=False,
             )
             x = np.asarray(res.x)
         else:
@@ -203,7 +203,7 @@ def estimate_L(model, bounds, seed=0):
     vals = jax.jit(jax.vmap(neg_grad_norm))(jnp.asarray(samples))
     x0 = samples[int(np.argmin(np.asarray(vals)))]
     res = lbfgs.minimize(neg_grad_norm, jnp.asarray(x0), lower=jnp.asarray(lo),
-                         upper=jnp.asarray(hi), maxiter=200)
+                         upper=jnp.asarray(hi), maxiter=200, carry_vjp=False)
     L = float(-res.f)
     if L < 1e-7:
         L = 10.0  # to avoid problems in cases in which the model is flat

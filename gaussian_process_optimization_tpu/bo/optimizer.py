@@ -102,6 +102,7 @@ class AcquisitionOptimizer:
                     res = lbfgs.minimize(
                         lambda x: acq.pure_neg_acq(gp, post, fmin, state, x[None, :])[0],
                         a, lower=lo, upper=hi, maxiter=self.maxiter,
+                        carry_vjp=False,  # cheap forward: recompute beats residual carry
                     )
                     return res.x, res.f
 

@@ -49,28 +49,43 @@ def _exact_core(Ky, Yc):
     (exact_gaussian_inference.py:70), one dpotri instead of autodiff's two full-width
     triangular solves through the Cholesky. L/alpha/jitter/ok are returned
     NON-DIFFERENTIABLE (their cotangents are dropped — they feed predict paths that
-    never differentiate w.r.t. them, matching GPy's posterior semantics)."""
+    never differentiate w.r.t. them, matching GPy's posterior semantics).
+
+    TPU cost shaping: a 1-rhs triangular solve is LATENCY-bound (~16 ms at N=4096 —
+    as much as the whole Gram build), so the LML is computed from the single
+    half-solve t = L^-1 Yc (quad = ||t||^2 = Yc^T Ky^-1 Yc); `alpha` is derived
+    lazily (XLA dead-code-eliminates its second solve whenever the caller only
+    consumes the LML, i.e. every fit/line-search step) and the backward pass
+    rebuilds it as the matmul Li^T t from the Li it must form anyway."""
     from ..ops import linalg as _linalg
 
     L, jitter, ok = _linalg.jitchol(Ky)
-    alpha = _linalg.cho_solve(L, Yc)
+    t = _linalg.solve_lower(L, Yc)
     logdet = _linalg.logdet_from_chol(L)
-    quad = jnp.sum(alpha * Yc)
+    quad = jnp.sum(t * t)
+    alpha = _linalg.solve_lower_t(L, t)  # DCE'd when only the LML is used
     return logdet, quad, L, alpha, jitter, ok
 
 
 def _exact_core_fwd(Ky, Yc):
-    out = _exact_core(Ky, Yc)
-    logdet, quad, L, alpha, jitter, ok = out
-    return out, (L, alpha)
+    from ..ops import linalg as _linalg
+
+    L, jitter, ok = _linalg.jitchol(Ky)
+    t = _linalg.solve_lower(L, Yc)
+    logdet = _linalg.logdet_from_chol(L)
+    quad = jnp.sum(t * t)
+    alpha = _linalg.solve_lower_t(L, t)
+    return (logdet, quad, L, alpha, jitter, ok), (L, t)
 
 
 def _exact_core_bwd(res, cts):
     from ..ops import linalg as _linalg
 
-    L, alpha = res
+    L, t = res
     c_logdet, c_quad = cts[0], cts[1]  # cotangents on L/alpha/jitter/ok dropped
-    Wi = _linalg.dpotri(L)
+    Li = _linalg.tri_inv_lower(L)
+    alpha = Li.T @ t  # = L^-T (L^-1 Yc), matmul instead of a latency-bound solve
+    Wi = _linalg.symmetrify(Li.T @ Li)
     dKy = c_logdet * Wi - c_quad * (alpha @ alpha.T)
     dYc = (2.0 * c_quad) * alpha
     return dKy, dYc
@@ -223,7 +238,7 @@ class GPRegression:
         lml = 0.5 * (-n_real * p * LOG_2_PI - p * logdet - quad)
         Li = None
         if precompute_inverse:
-            Li = linalg.solve_lower(L, jnp.eye(n, dtype=L.dtype))
+            Li = linalg.tri_inv_lower(L)
         return Posterior(L=L, alpha=alpha, jitter=jitter, ok=ok, lml=lml, Li=Li)
 
     def log_marginal_likelihood(self) -> jnp.ndarray:

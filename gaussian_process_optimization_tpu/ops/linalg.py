@@ -143,11 +143,66 @@ def cho_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return solve_lower_t(L, solve_lower(L, B))
 
 
+def tri_inv_lower(L: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """L^-1 for lower-triangular L, by divide-and-conquer blocking.
+
+    XLA's `triangular_solve(L, I)` treats the identity RHS as dense — N^3 FLOPs
+    through a latency-bound sequential panel sweep (~22 ms at N=4096 B=5 on v5e).
+    This exploits the triangular structure: invert all diagonal `block`-blocks in
+    ONE batched small solve, then merge up a log-depth tree of MXU matmuls using
+        [[A, 0], [C, D]]^-1 = [[A^-1, 0], [-D^-1 C A^-1, D^-1]]
+    (~N^3/3 FLOPs, matmul-bound). Supports leading batch dims. Exact in f32 —
+    same arithmetic class as the solve it replaces.
+    """
+    n = L.shape[-1]
+    if n <= block:
+        return lax.linalg.triangular_solve(
+            L, jnp.eye(n, dtype=L.dtype), left_side=True, lower=True
+        )
+    # pad to a power-of-two multiple of block with identity diagonal
+    nb = -(-n // block)
+    levels = max(0, (nb - 1).bit_length())
+    n_pad = block * (1 << levels)
+    if n_pad != n:
+        batch = L.shape[:-2]
+        Lp = jnp.zeros(batch + (n_pad, n_pad), L.dtype)
+        Lp = Lp.at[..., :n, :n].set(L)
+        Lp = Lp.at[..., n:, n:].add(jnp.eye(n_pad - n, dtype=L.dtype))
+        L = Lp
+    nb = n_pad // block
+    # (..., nb, block, block) diagonal blocks -> one batched solve
+    diag = jnp.stack(
+        [L[..., i * block:(i + 1) * block, i * block:(i + 1) * block]
+         for i in range(nb)],
+        axis=-3,
+    )
+    inv = lax.linalg.triangular_solve(
+        diag, jnp.broadcast_to(jnp.eye(block, dtype=L.dtype), diag.shape),
+        left_side=True, lower=True,
+    )
+    s = block
+    while s < n_pad:
+        g = inv.shape[-3]  # current number of inverted diagonal groups
+        Ai, Di = inv[..., 0::2, :, :], inv[..., 1::2, :, :]
+        C = jnp.stack(
+            [L[..., (2 * i + 1) * s:(2 * i + 2) * s, 2 * i * s:(2 * i + 1) * s]
+             for i in range(g // 2)],
+            axis=-3,
+        )
+        B = -jnp.matmul(Di, jnp.matmul(C, Ai))
+        z = jnp.zeros_like(B)
+        top = jnp.concatenate([Ai, z], axis=-1)
+        bot = jnp.concatenate([B, Di], axis=-1)
+        inv = jnp.concatenate([top, bot], axis=-2)
+        s *= 2
+    out = inv[..., 0, :, :]
+    return out[..., :n, :n] if n_pad != n else out
+
+
 def dpotri(L: jnp.ndarray) -> jnp.ndarray:
     """Inverse of A = L L^T from its Cholesky factor (GPy dpotri, util/linalg.py:127)."""
-    n = L.shape[-1]
-    Li = solve_lower(L, jnp.eye(n, dtype=L.dtype))
-    return symmetrify(Li.T @ Li)
+    Li = tri_inv_lower(L)
+    return symmetrify(jnp.matmul(jnp.swapaxes(Li, -1, -2), Li))
 
 
 def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
@@ -158,9 +213,8 @@ def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
 def pdinv(A: jnp.ndarray, maxtries: int | None = None):
     """(A^-1, L, L^-1, logdet) for symmetric PD A (GPy pdinv, util/linalg.py:193)."""
     L, _, _ = jitchol(A, maxtries)
-    n = A.shape[-1]
-    Li = solve_lower(L, jnp.eye(n, dtype=A.dtype))
-    Ai = symmetrify(Li.T @ Li)
+    Li = tri_inv_lower(L)
+    Ai = symmetrify(jnp.matmul(jnp.swapaxes(Li, -1, -2), Li))
     return Ai, L, Li, logdet_from_chol(L)
 
 

@@ -23,7 +23,9 @@ def test_quadratic_exact():
     A = jnp.asarray(np.diag([1.0, 10.0, 100.0]))
     b = jnp.asarray([1.0, -2.0, 3.0])
     f = lambda x: 0.5 * x @ A @ x - b @ x
-    res = lbfgs.minimize(f, jnp.zeros(3), maxiter=200)
+    # tol drives the projected-gradient stop; x-accuracy ~ tol / lambda_min, so
+    # asserting atol=1e-6 on x needs tol well below 1e-6
+    res = lbfgs.minimize(f, jnp.zeros(3), maxiter=200, tol=1e-9)
     np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(np.asarray(A), b), atol=1e-6)
 
 

@@ -114,3 +114,26 @@ def test_masked_gram_padding(rng):
     np.testing.assert_allclose(
         float(linalg.logdet_from_chol(L)), np.linalg.slogdet(A)[1], rtol=1e-8
     )
+
+
+@pytest.mark.parametrize("n", [7, 64, 300, 515])
+def test_tri_inv_lower_matches_solve(rng, n):
+    # D&C blocked inverse == dense triangular solve vs identity, incl. padding
+    # paths (n not a multiple of the block) and a small block to force merges
+    A = _random_pd(rng, n)
+    L = jnp.asarray(np.linalg.cholesky(A))
+    Li = linalg.tri_inv_lower(L, block=64)
+    expected = np.linalg.inv(np.asarray(L))
+    np.testing.assert_allclose(np.asarray(Li), expected, rtol=1e-7, atol=1e-8)
+    # strictly lower-triangular result
+    assert np.allclose(np.triu(np.asarray(Li), 1), 0.0)
+
+
+def test_tri_inv_lower_batched(rng):
+    Ls = jnp.asarray(np.stack([np.linalg.cholesky(_random_pd(rng, 100))
+                               for _ in range(3)]))
+    Li = jax.vmap(lambda L: linalg.tri_inv_lower(L, block=32))(Ls)
+    for b in range(3):
+        np.testing.assert_allclose(np.asarray(Li[b]),
+                                   np.linalg.inv(np.asarray(Ls[b])),
+                                   rtol=1e-7, atol=1e-8)

@@ -42,7 +42,11 @@ def test_mrd_two_views_recover_shared_and_private():
     Y1, Y2 = _two_view_toy()
     m = MRD.create([Y1, Y2], input_dim=4, num_inducing=12, noise_var=0.1, seed=0)
     e0 = float(m.elbo())
-    fitted, res = fit_mrd(m, maxiter=200)
+    # 400 iters: at 200 the ARD relevances are not yet separated (private dims
+    # sit just under the 0.3 bar); by 400 the split is unambiguous and keeps
+    # sharpening (checked to 800) — the assertion is about structure recovery,
+    # not a particular optimizer trajectory
+    fitted, res = fit_mrd(m, maxiter=400)
     e1 = float(fitted.elbo())
     assert np.isfinite(e1) and e1 > e0, (e0, e1)
 
