@@ -34,6 +34,15 @@ class Config:
     f32_noise_floor: float = 1e-4
     # Acquisition std floor (GPyOpt util/general.py:121 floors s at 1e-10).
     std_floor: float = 1e-10
+    # Matmul precision for the exact-GP GRADIENT path only (the Wi = Li^T Li /
+    # alpha alpha^T contractions in _exact_core_bwd and the tri_inv merge
+    # matmuls feeding them). The global pin stays 'highest' (CLAUDE.md: bf16
+    # operands corrupt distance/solve numerics), but the LML gradient only
+    # steers the optimizer — 'high' (bf16x3, ~21-bit mantissa) is a candidate
+    # there. Default 'highest' until regret parity is re-validated; opt in via
+    # GPO_GRAD_MATMUL_PRECISION=high.
+    grad_matmul_precision: str = os.environ.get(
+        "GPO_GRAD_MATMUL_PRECISION", "highest")
 
 
 config = Config()

@@ -83,10 +83,16 @@ def _exact_core_bwd(res, cts):
 
     L, t = res
     c_logdet, c_quad = cts[0], cts[1]  # cotangents on L/alpha/jitter/ok dropped
-    Li = _linalg.tri_inv_lower(L)
-    alpha = Li.T @ t  # = L^-T (L^-1 Yc), matmul instead of a latency-bound solve
-    Wi = _linalg.symmetrify(Li.T @ Li)
-    dKy = c_logdet * Wi - c_quad * (alpha @ alpha.T)
+    # gradient-only precision knob (config.grad_matmul_precision): these
+    # contractions steer the optimizer but never touch predictions
+    prec = config.grad_matmul_precision
+    prec = None if prec == "highest" else prec
+    Li = _linalg.tri_inv_lower(L, precision=prec)
+    # alpha = L^-T (L^-1 Yc) as a matmul instead of a latency-bound solve; it
+    # feeds dYc (gradient) only — the posterior's alpha comes from the primal
+    alpha = jnp.matmul(Li.T, t, precision=prec)
+    Wi = _linalg.symmetrify(jnp.matmul(Li.T, Li, precision=prec))
+    dKy = c_logdet * Wi - c_quad * jnp.matmul(alpha, alpha.T, precision=prec)
     dYc = (2.0 * c_quad) * alpha
     return dKy, dYc
 

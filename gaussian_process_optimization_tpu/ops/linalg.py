@@ -143,7 +143,7 @@ def cho_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return solve_lower_t(L, solve_lower(L, B))
 
 
-def tri_inv_lower(L: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+def tri_inv_lower(L: jnp.ndarray, block: int = 256, precision=None) -> jnp.ndarray:
     """L^-1 for lower-triangular L, by divide-and-conquer blocking.
 
     XLA's `triangular_solve(L, I)` treats the identity RHS as dense — N^3 FLOPs
@@ -189,7 +189,8 @@ def tri_inv_lower(L: jnp.ndarray, block: int = 256) -> jnp.ndarray:
              for i in range(g // 2)],
             axis=-3,
         )
-        B = -jnp.matmul(Di, jnp.matmul(C, Ai))
+        B = -jnp.matmul(Di, jnp.matmul(C, Ai, precision=precision),
+                        precision=precision)
         z = jnp.zeros_like(B)
         top = jnp.concatenate([Ai, z], axis=-1)
         bot = jnp.concatenate([B, Di], axis=-1)
