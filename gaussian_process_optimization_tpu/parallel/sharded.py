@@ -202,3 +202,123 @@ def make_sharded_sweep(score_fn, mesh):
             in_specs=(P(), P("data", None)), out_specs=P("data"),
         )
     )
+
+
+# ------------------------------------------------------------- multi-start fit
+def make_sharded_multistart_fit(template_model, mesh, restarts_per_device=1,
+                                maxiter=1000, tol=1e-5, max_ls=8, fix=(),
+                                transform_overrides=None, priors=None):
+    """Multi-restart hyperparameter fit with the RESTART axis sharded over the
+    mesh: each device runs its own vmapped L-BFGS chains, the per-restart optima
+    are gathered, and the global argmin picked.
+
+    The reference runs restarts as a serial Python loop
+    (``paramz model.optimize_restarts``, driven from
+    ``GPyOpt/GPyOpt/models/gpmodel.py:88-93``); the single-chip port vmaps them
+    (models/fit.Fitter); this scales them across chips — restart chains are
+    embarrassingly parallel, so the collective cost is one small gather of the
+    (R, n_params) optima. Total restarts = mesh axis size x restarts_per_device
+    (the model's current parameters seed restart 0).
+
+    Returns run(model, key) -> (fitted_model, (us, fs)); jit once, reuse.
+    """
+    from ..models.fit import make_objective
+    from ..models.parameters import make_packer
+    from ..ops import lbfgs
+
+    packer = make_packer(template_model, fix=fix,
+                         transform_overrides=transform_overrides)
+    obj = make_objective(packer, priors=priors)
+    n_dev = mesh.shape["data"]
+    total = n_dev * restarts_per_device
+
+    def solve_shard(starts_s, model):
+        def solve(u):
+            res = lbfgs.minimize(lambda uu: obj(uu, model), u, maxiter=maxiter,
+                                 tol=tol, max_ls=max_ls)
+            return res.x, res.f
+
+        return jax.vmap(solve)(starts_s)
+
+    # check_vma=False: the shard body is collective-free (independent chains),
+    # and the L-BFGS loop carries unvarying zeros that trip the varying-axes
+    # type check under shard_map
+    sharded_solve = shard_map(
+        solve_shard, mesh=mesh,
+        in_specs=(P("data", None), P()), out_specs=(P("data", None), P("data")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(model, key):
+        u0 = packer.pack(model)
+        n = u0.shape[0]
+        if total > 1:
+            z = jax.random.normal(key, (total - 1, n), dtype=u0.dtype)
+            rand = jax.vmap(packer.map_restart)(z)
+            starts = jnp.concatenate([u0[None], rand])
+        else:
+            starts = u0[None]
+        us, fs = sharded_solve(starts, model)
+        fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+        best = jnp.argmin(fs)
+        fitted = packer.unpack(us[best], reference=model)
+        return fitted, (us, fs)
+
+    return run
+
+
+# -------------------------------------------------- multi-start acq argmax
+def make_sharded_acq_argmax(neg_acq, mesh, lower, upper, num_samples=1000,
+                            anchors_per_device=1, maxiter=200):
+    """Acquisition argmax with BOTH phases sharded over the mesh: the random
+    candidate sweep (anchor_points_generator.py:87-99) splits its rows across
+    devices, and the anchor L-BFGS multistarts (acquisition_optimizer.py:45-79)
+    run one vmapped batch per device.
+
+    neg_acq(state, X) -> (n,) must be shard-local (pure predict — no
+    collectives), `state` the pytree of posterior buffers. Returns
+    argmax(state, key) -> (x_best, f_best); jit once per posterior structure.
+    """
+    from ..ops import lbfgs
+
+    n_dev = mesh.shape["data"]
+    n_anchor = n_dev * anchors_per_device
+    lower = jnp.asarray(lower)
+    upper = jnp.asarray(upper)
+    d = lower.shape[0]
+    # round the sweep up to a multiple of the axis size
+    n_sweep = -(-num_samples // n_dev) * n_dev
+
+    def sweep_shard(state, X_s):
+        return neg_acq(state, X_s)
+
+    sweep = shard_map(sweep_shard, mesh=mesh,
+                      in_specs=(P(), P("data", None)), out_specs=P("data"))
+
+    def polish_shard(state, anchors_s):
+        def solve(a):
+            res = lbfgs.minimize(
+                lambda x: neg_acq(state, x[None, :])[0], a, lower=lower,
+                upper=upper, maxiter=maxiter, carry_vjp=False)
+            return res.x, res.f
+
+        return jax.vmap(solve)(anchors_s)
+
+    polish = shard_map(polish_shard, mesh=mesh,
+                       in_specs=(P(), P("data", None)),
+                       out_specs=(P("data", None), P("data")),
+                       check_vma=False)  # collective-free, see above
+
+    @jax.jit
+    def argmax(state, key):
+        cands = jax.random.uniform(key, (n_sweep, d), minval=lower,
+                                   maxval=upper, dtype=lower.dtype)
+        scores = sweep(state, cands)
+        anchors = cands[jnp.argsort(scores)[:n_anchor]]
+        xs, fs = polish(state, anchors)
+        fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
+        best = jnp.argmin(fs)
+        return xs[best], fs[best]
+
+    return argmax

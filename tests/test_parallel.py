@@ -83,3 +83,68 @@ def test_sharded_sweep_matches_vmap(data, mesh):
     vals = sweep((m, post), Xc)
     ref = score((m, post), Xc)
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref), rtol=1e-8)
+
+
+def test_sharded_multistart_fit_matches_single_device(data, mesh):
+    X, Y = data
+    k = kern.RBF.create(2, ARD=True)
+    m = GPRegression.create(X, Y, kernel=k, noise_var=0.1, max_points=64)
+
+    from gaussian_process_optimization_tpu.models import fit as fit_mod
+
+    key = jax.random.PRNGKey(3)
+    run = sharded.make_sharded_multistart_fit(m, mesh, restarts_per_device=1,
+                                              maxiter=40, tol=0.0)
+    fitted_sh, (us, fs) = run(m, key)
+    assert us.shape[0] == 8 and np.all(np.isfinite(np.asarray(fs)))
+
+    # same total restart count + same key => identical start points; the
+    # single-device Fitter vmaps the 8 chains on one device, the sharded run
+    # puts one chain per device — per-lane results must agree (batched
+    # while_loop masks finished lanes, it does not change their math)
+    fitter = fit_mod.Fitter(m, num_restarts=8, maxiter=40, tol=0.0)
+    fitted_local, res = fitter(m, key)
+    np.testing.assert_allclose(float(jnp.min(fs)), float(jnp.min(res.f)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        float(fitted_sh.log_marginal_likelihood()),
+        float(fitted_local.log_marginal_likelihood()), rtol=1e-6)
+
+
+def test_sharded_acq_argmax_matches_unsharded(data, mesh):
+    X, Y = data
+    k = kern.RBF.create(2)
+    m = GPRegression.create(X, Y, kernel=k, noise_var=0.05, max_points=64)
+    post = m.inference()
+
+    def neg_lcb(state, Xc):
+        mdl, p = state
+        mu, v = mdl.predict(Xc, posterior=p)
+        return (mu[:, 0] - 2.0 * jnp.sqrt(v[:, 0]))
+
+    lo, hi = -2.0 * jnp.ones(2), 2.0 * jnp.ones(2)
+    argmax = sharded.make_sharded_acq_argmax(
+        neg_lcb, mesh, lo, hi, num_samples=800, anchors_per_device=1,
+        maxiter=30)
+    key = jax.random.PRNGKey(7)
+    x_best, f_best = argmax((m, post), key)
+    assert x_best.shape == (2,)
+    assert np.all(np.asarray(x_best) >= -2.0) and np.all(np.asarray(x_best) <= 2.0)
+
+    # unsharded replay of the same two phases with the same key
+    from gaussian_process_optimization_tpu.ops import lbfgs
+
+    cands = jax.random.uniform(key, (800, 2), minval=lo, maxval=hi,
+                               dtype=lo.dtype)
+    scores = neg_lcb((m, post), cands)
+    anchors = cands[jnp.argsort(scores)[:8]]
+
+    def solve(a):
+        res = lbfgs.minimize(lambda x: neg_lcb((m, post), x[None, :])[0], a,
+                             lower=lo, upper=hi, maxiter=30, carry_vjp=False)
+        return res.x, res.f
+
+    xs, fs = jax.vmap(solve)(anchors)
+    np.testing.assert_allclose(float(f_best), float(jnp.min(fs)), rtol=1e-8)
+    # the polished point must beat every raw sweep candidate
+    assert float(f_best) <= float(jnp.min(scores)) + 1e-10
