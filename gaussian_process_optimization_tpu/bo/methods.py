@@ -50,6 +50,7 @@ class ArgumentsManager:
                 optimizer=optimizer, max_iters=max_iters,
                 optimize_restarts=optimize_restarts, verbose=verbosity_model,
                 ARD=ARD, Gower=Gower, space=space,
+                mesh=self.kwargs.get("mesh"),
             )
         if model_type == "sparseGP":
             from ..models.sparse_bo_model import SparseGPModel
@@ -233,6 +234,7 @@ class BayesianOptimization(BO):
             design_type=kwargs.get("anchor_points_design", "random"),
             num_samples=kwargs.get("anchor_points_samples", 1000),
             num_anchor=kwargs.get("anchor_points_num", 5),
+            mesh=kwargs.get("mesh"),  # multi-chip: sweep + anchor polish shard
         )
 
         # acquisition (:150)

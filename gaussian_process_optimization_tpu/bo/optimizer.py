@@ -72,7 +72,8 @@ class AcquisitionOptimizer:
     random+lbfgs)."""
 
     def __init__(self, space, optimizer="lbfgs", model=None, design_type="random",
-                 num_samples=1000, num_anchor=5, maxiter=200, seed=0, **kwargs):
+                 num_samples=1000, num_anchor=5, maxiter=200, seed=0, mesh=None,
+                 **kwargs):
         self.space = space
         self.optimizer_name = optimizer
         self.model = model
@@ -82,6 +83,10 @@ class AcquisitionOptimizer:
         self.maxiter = maxiter
         self.context_manager = None
         self._seed = seed
+        # optional jax.sharding.Mesh: the candidate sweep shards its rows and the
+        # anchor multistart runs one vmapped L-BFGS batch per device (inputs are
+        # padded up to a multiple of the 'data' axis size)
+        self.mesh = mesh
         # Keyed on the live acquisition object itself (weakly): id()-keyed caches
         # can silently serve programs compiled for a *different*, GC'd acquisition
         # whose id was recycled (VERDICT round 1 weak #6).
@@ -108,8 +113,41 @@ class AcquisitionOptimizer:
 
                 return jax.vmap(solve)(anchors)
 
-            self._jit_cache[key] = (jax.jit(score_fn), jax.jit(multistart_fn))
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                shard_map = jax.shard_map
+                mesh = self.mesh
+                score_sharded = shard_map(
+                    score_fn, mesh=mesh,
+                    in_specs=(P(), P(), P(), P(), P("data", None)),
+                    out_specs=P("data"), check_vma=False,
+                )
+                multi_sharded = shard_map(
+                    multistart_fn, mesh=mesh,
+                    in_specs=(P(), P(), P(), P(), P("data", None), P(), P()),
+                    out_specs=(P("data", None), P("data")), check_vma=False,
+                )
+                self._jit_cache[key] = (jax.jit(score_sharded),
+                                        jax.jit(multi_sharded))
+            else:
+                self._jit_cache[key] = (jax.jit(score_fn), jax.jit(multistart_fn))
         return self._jit_cache[key]
+
+    def _pad_rows(self, X, fill=None):
+        """Pad rows up to a multiple of the mesh 'data' axis (sharded inputs
+        must divide evenly); returns (padded, n_real)."""
+        if self.mesh is None:
+            return X, X.shape[0]
+        n_dev = self.mesh.shape["data"]
+        n = X.shape[0]
+        n_pad = -(-n // n_dev) * n_dev
+        if n_pad == n:
+            return X, n
+        import numpy as _np
+
+        filler = X[:1] if fill is None else fill
+        return _np.vstack([X, _np.repeat(filler, n_pad - n, axis=0)]), n
 
     # ------------------------------------------------------------- public API
     def optimize(self, f=None, df=None, f_df=None, duplicate_manager=None,
@@ -151,7 +189,9 @@ class AcquisitionOptimizer:
         Xm = space.unzip_inputs(X_obj)
         if cm is not None:
             Xm = cm.apply_context(Xm)
+        Xm, n_real = self._pad_rows(Xm)
         scores = np.asarray(score_jit(gp, post, fmin, state, jnp.asarray(Xm)))
+        Xm, scores = Xm[:n_real], scores[:n_real]
         if space.has_constraints():
             ind = space.indicator_constraints(Xm).flatten()
             scores = np.where(ind == 1, scores, np.inf)
@@ -169,9 +209,10 @@ class AcquisitionOptimizer:
             lo[cm.context_index] = np.asarray(cm.context_value)
             hi[cm.context_index] = np.asarray(cm.context_value)
         if getattr(acq, "analytical_gradient_prediction", True):
-            xs, fs = multistart_jit(gp, post, fmin, state, jnp.asarray(anchors),
+            anchors_p, n_anch = self._pad_rows(anchors)
+            xs, fs = multistart_jit(gp, post, fmin, state, jnp.asarray(anchors_p),
                                     jnp.asarray(lo), jnp.asarray(hi))
-            xs = np.asarray(xs)
+            xs = np.asarray(xs)[:n_anch]
         else:
             xs = anchors
 

@@ -74,6 +74,7 @@ class GPModel(BOModel):
         space=None,
         mean_function=None,
         seed=0,
+        mesh=None,
     ):
         self.kernel_template = kernel
         self.noise_var = noise_var
@@ -86,6 +87,10 @@ class GPModel(BOModel):
         self.Gower = Gower
         self.space = space
         self.mean_function = mean_function
+        # optional jax.sharding.Mesh: restart chains shard over its 'data' axis
+        # (parallel.sharded.make_sharded_multistart_fit); total restarts become
+        # ceil(optimize_restarts / n_devices) per device x n_devices
+        self.mesh = mesh
         self.model: GPRegression | None = None
         self.posterior = None
         self._fitters: dict = {}
@@ -134,13 +139,24 @@ class GPModel(BOModel):
             else:
                 # bound it to [1e-9, 1e6] (gpmodel.py:74-76)
                 fix, overrides = (), {"likelihood_variance": Logistic(lo=1e-9, hi=1e6)}
-            self._fitters[bucket] = Fitter(
-                self.model,
-                num_restarts=self.optimize_restarts,
-                maxiter=self.max_iters,
-                fix=fix,
-                transform_overrides=overrides,
-            )
+            if self.mesh is not None:
+                from ..parallel.sharded import make_sharded_multistart_fit
+
+                n_dev = self.mesh.shape["data"]
+                per_dev = -(-self.optimize_restarts // n_dev)
+                self._fitters[bucket] = make_sharded_multistart_fit(
+                    self.model, self.mesh, restarts_per_device=per_dev,
+                    maxiter=self.max_iters, fix=fix,
+                    transform_overrides=overrides,
+                )
+            else:
+                self._fitters[bucket] = Fitter(
+                    self.model,
+                    num_restarts=self.optimize_restarts,
+                    maxiter=self.max_iters,
+                    fix=fix,
+                    transform_overrides=overrides,
+                )
         return self._fitters[bucket]
 
     # ------------------------------------------------------------------ public API

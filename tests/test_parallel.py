@@ -148,3 +148,22 @@ def test_sharded_acq_argmax_matches_unsharded(data, mesh):
     np.testing.assert_allclose(float(f_best), float(jnp.min(fs)), rtol=1e-8)
     # the polished point must beat every raw sweep candidate
     assert float(f_best) <= float(jnp.min(scores)) + 1e-10
+
+
+def test_bo_loop_on_mesh(mesh):
+    """End-to-end BayesianOptimization with mesh= : restart-parallel surrogate
+    fits + sharded acquisition sweep/polish, on the virtual 8-device CPU mesh."""
+    from gaussian_process_optimization_tpu.bo import (BayesianOptimization,
+                                                      bounds_to_space, objectives)
+
+    bo = BayesianOptimization(
+        f=lambda x: np.asarray(objectives.forrester(x)),
+        domain=bounds_to_space(objectives.forrester.bounds),
+        acquisition_type="EI", initial_design_numdata=4,
+        initial_design_type="latin", exact_feval=True, seed=0,
+        mesh=mesh, anchor_points_samples=160, anchor_points_num=4,
+        max_iters=60,
+    )
+    bo.run_optimization(max_iter=6, eps=-1)
+    assert bo.Y.shape[0] == 10  # all iterations ran (no fit failures)
+    assert float(bo.fx_opt) < -5.5  # forrester fmin = -6.02
