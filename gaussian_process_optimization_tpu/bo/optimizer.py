@@ -227,7 +227,9 @@ class AcquisitionOptimizer:
         for a in anchors:  # anchor fallback when rounded points collide/duplicate
             candidates.append(a)
         C = np.vstack([np.atleast_2d(c) for c in candidates])
-        fC = np.asarray(score_jit(gp, post, fmin, state, jnp.asarray(C))).flatten()
+        C_p, n_C = self._pad_rows(C)
+        fC = np.asarray(
+            score_jit(gp, post, fmin, state, jnp.asarray(C_p))).flatten()[:n_C]
         if space.has_constraints():
             ind = space.indicator_constraints(C).flatten()
             fC = np.where(ind == 1, fC, np.inf)

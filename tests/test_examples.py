@@ -2,6 +2,8 @@
 import os
 import sys
 
+import numpy as np
+
 import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -45,3 +47,11 @@ def test_mixed_design_example(tmp_path, monkeypatch):
     X2, Y2 = mixed_design_batch.main(iterations=1, batch=2,
                                      state_file=str(tmp_path / "st.npz"))
     assert X2.shape[0] >= 14
+
+
+def test_multichip_bo_example(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from examples import multichip_bo
+
+    bo = multichip_bo.main(max_iter=3, seed=0)
+    assert bo.Y.shape[0] == 8 and np.isfinite(bo.fx_opt)
