@@ -23,21 +23,26 @@ sys.path.insert(0, str(ROOT / "benchmarks"))
 from regret_compare import CHILD, FUNC_SPECS, RAW  # noqa: E402
 
 
-def main(seeds=10):
+def main(seeds=10, reuse=False):
     prior = json.loads(RAW.read_text())
     funcs = [fn for fn in FUNC_SPECS if fn in prior["cpu_f64"]]
-    specs = {fn: FUNC_SPECS[fn] for fn in funcs}
-    code = CHILD.format(root=str(ROOT), cpu=False, specs=specs, seeds=seeds)
-    env = dict(os.environ, GPO_GRAD_MATMUL_PRECISION="high")
-    print(f"running TPU f32 GRAD=high for {funcs}...", flush=True)
-    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=14400, env=env)
-    out = None
-    for line in res.stdout.splitlines():
-        if line.startswith("RESULT::"):
-            out = json.loads(line[len("RESULT::"):])
-    if out is None:
-        raise RuntimeError(f"child failed:\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}")
+    stored = ROOT / "benchmarks" / "precision_raw.json"
+    if reuse and stored.exists():
+        out = json.loads(stored.read_text())
+    else:
+        specs = {fn: FUNC_SPECS[fn] for fn in funcs}
+        code = CHILD.format(root=str(ROOT), cpu=False, specs=specs, seeds=seeds)
+        env = dict(os.environ, GPO_GRAD_MATMUL_PRECISION="high")
+        print(f"running TPU f32 GRAD=high for {funcs}...", flush=True)
+        res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, timeout=14400, env=env)
+        out = None
+        for line in res.stdout.splitlines():
+            if line.startswith("RESULT::"):
+                out = json.loads(line[len("RESULT::"):])
+        if out is None:
+            raise RuntimeError(
+                f"child failed:\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}")
 
     import numpy as np
 
@@ -59,7 +64,8 @@ def main(seeds=10):
         cm, c1, c3 = stats(c)
         hm, h1, h3 = stats(th)
         dm, d1, d3 = stats(t0)
-        overlap = (h1 <= c3) and (c1 <= h3)
+        tol = 1e-6  # resolution tolerance for all-seeds-solved ties (see regret_compare)
+        overlap = (h1 <= c3 + tol) and (c1 <= h3 + tol)
         all_overlap &= overlap
         lines.append(f"## {fn}\n")
         lines.append(f"- CPU f64:              median {cm:.4f}, IQR [{c1:.4f}, {c3:.4f}]")
@@ -78,4 +84,4 @@ def main(seeds=10):
 
 
 if __name__ == "__main__":
-    main()
+    main(reuse="--reuse" in sys.argv)

@@ -38,11 +38,12 @@ class Config:
     # alpha alpha^T contractions in _exact_core_bwd and the tri_inv merge
     # matmuls feeding them). The global pin stays 'highest' (CLAUDE.md: bf16
     # operands corrupt distance/solve numerics), but the LML gradient only
-    # steers the optimizer — 'high' (bf16x3, ~21-bit mantissa) is a candidate
-    # there. Default 'highest' until regret parity is re-validated; opt in via
-    # GPO_GRAD_MATMUL_PRECISION=high.
+    # steers the optimizer — 'high' (bf16x3, ~21-bit mantissa) is regret-neutral
+    # across the 6-function 10-seed suite (benchmarks/PRECISION.md) and ~14%
+    # faster on the N=4096 fit, so it is the default. Force full precision with
+    # GPO_GRAD_MATMUL_PRECISION=highest.
     grad_matmul_precision: str = os.environ.get(
-        "GPO_GRAD_MATMUL_PRECISION", "highest")
+        "GPO_GRAD_MATMUL_PRECISION", "high")
 
 
 config = Config()
