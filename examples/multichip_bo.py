@@ -16,11 +16,13 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
 
-if jax.default_backend() == "cpu":  # virtual devices for the demo
-    try:
-        jax.config.update("jax_num_cpu_devices", 8)
-    except Exception:
-        pass
+# Request 8 virtual CPU devices BEFORE any backend query — jax.default_backend()
+# would initialize the backend and make this a silent no-op (1-device "mesh").
+# Harmless on TPU environments: it only sizes the cpu backend.
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
 
 import numpy as np
 

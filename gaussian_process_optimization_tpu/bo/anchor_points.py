@@ -28,7 +28,12 @@ class AnchorPointsGenerator:
         X = initial_design(self.design_type, self.space, self.num_samples, seed=seed)
 
         if unique and duplicate_manager:
-            X = np.array([x for x in X if not duplicate_manager.is_unzipped_x_duplicate(x)])
+            # X comes from initial_design = OBJECTIVE-space (zipped) rows, so the
+            # zipped check is the right one. (The reference calls
+            # is_unzipped_x_duplicate here, anchor_points_generator.py:34 — with
+            # categorical variables that zips an already-zipped row, which
+            # mis-slices; deliberate fix, caught by tests/test_bo_fuzz.py.)
+            X = np.array([x for x in X if not duplicate_manager.is_zipped_x_duplicate(x)])
             if X.size == 0:
                 raise FullyExploredOptimizationDomainError(
                     "The whole search domain has been explored; cannot generate unique anchor points."

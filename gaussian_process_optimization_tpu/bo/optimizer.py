@@ -116,7 +116,8 @@ class AcquisitionOptimizer:
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
 
-                shard_map = jax.shard_map
+                from ..parallel.sharded import shard_map  # incl. older-jax fallback
+
                 mesh = self.mesh
                 score_sharded = shard_map(
                     score_fn, mesh=mesh,
@@ -144,10 +145,8 @@ class AcquisitionOptimizer:
         n_pad = -(-n // n_dev) * n_dev
         if n_pad == n:
             return X, n
-        import numpy as _np
-
         filler = X[:1] if fill is None else fill
-        return _np.vstack([X, _np.repeat(filler, n_pad - n, axis=0)]), n
+        return np.vstack([X, np.repeat(filler, n_pad - n, axis=0)]), n
 
     # ------------------------------------------------------------- public API
     def optimize(self, f=None, df=None, f_df=None, duplicate_manager=None,
@@ -177,8 +176,9 @@ class AcquisitionOptimizer:
         self._seed += 1
         X_obj = initial_design(self.design_type, space, self.num_samples, seed=self._seed)
         if duplicate_manager:
+            # X_obj rows are OBJECTIVE-space (zipped) — see anchor_points.get
             keep = [i for i, x in enumerate(X_obj)
-                    if not duplicate_manager.is_unzipped_x_duplicate(x)]
+                    if not duplicate_manager.is_zipped_x_duplicate(x)]
             if not keep:
                 from .variables import FullyExploredOptimizationDomainError
 

@@ -143,7 +143,7 @@ class GPModel(BOModel):
                 from ..parallel.sharded import make_sharded_multistart_fit
 
                 n_dev = self.mesh.shape["data"]
-                per_dev = -(-self.optimize_restarts // n_dev)
+                per_dev = max(1, -(-self.optimize_restarts // n_dev))
                 self._fitters[bucket] = make_sharded_multistart_fit(
                     self.model, self.mesh, restarts_per_device=per_dev,
                     maxiter=self.max_iters, fix=fix,

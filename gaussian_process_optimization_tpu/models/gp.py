@@ -41,6 +41,19 @@ import math
 LOG_2_PI = math.log(2.0 * math.pi)
 
 
+def _exact_core_impl(Ky, Yc):
+    """Shared primal for _exact_core and its VJP fwd: returns (outputs, residuals)
+    so the two traces cannot drift numerically."""
+    from ..ops import linalg as _linalg
+
+    L, jitter, ok = _linalg.jitchol(Ky)
+    t = _linalg.solve_lower(L, Yc)
+    logdet = _linalg.logdet_from_chol(L)
+    quad = jnp.sum(t * t)
+    alpha = _linalg.solve_lower_t(L, t)  # DCE'd when only the LML is used
+    return (logdet, quad, L, alpha, jitter, ok), (L, t)
+
+
 @jax.custom_vjp
 def _exact_core(Ky, Yc):
     """(logdet, quad, L, alpha, jitter, ok) for the exact-GP LML with the CLOSED-FORM
@@ -57,25 +70,11 @@ def _exact_core(Ky, Yc):
     lazily (XLA dead-code-eliminates its second solve whenever the caller only
     consumes the LML, i.e. every fit/line-search step) and the backward pass
     rebuilds it as the matmul Li^T t from the Li it must form anyway."""
-    from ..ops import linalg as _linalg
-
-    L, jitter, ok = _linalg.jitchol(Ky)
-    t = _linalg.solve_lower(L, Yc)
-    logdet = _linalg.logdet_from_chol(L)
-    quad = jnp.sum(t * t)
-    alpha = _linalg.solve_lower_t(L, t)  # DCE'd when only the LML is used
-    return logdet, quad, L, alpha, jitter, ok
+    return _exact_core_impl(Ky, Yc)[0]
 
 
 def _exact_core_fwd(Ky, Yc):
-    from ..ops import linalg as _linalg
-
-    L, jitter, ok = _linalg.jitchol(Ky)
-    t = _linalg.solve_lower(L, Yc)
-    logdet = _linalg.logdet_from_chol(L)
-    quad = jnp.sum(t * t)
-    alpha = _linalg.solve_lower_t(L, t)
-    return (logdet, quad, L, alpha, jitter, ok), (L, t)
+    return _exact_core_impl(Ky, Yc)
 
 
 def _exact_core_bwd(res, cts):

@@ -222,9 +222,15 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         x_new, f_new, g_new, ls_ok, n_trials, t_acc = line_search(
             x, f, g, d, frozen, t_init)
         n_ls = n_ls + n_trials
-        # next first-trial step: grow the accepted step 2x, capped at 1; after
-        # a failed search reset to 1 (the lane freezes anyway)
-        t_init = jnp.where(ls_ok, jnp.minimum(2.0 * t_acc, 1.0), 1.0)
+        # next first-trial step: grow the accepted step, capped at 1; after a
+        # failed search reset to 1 (the lane freezes anyway). Growth is 4x after
+        # a clean first-trial accept and 2x after a backtracked accept, so a
+        # lane that once took a tiny step recovers the unit step in
+        # ~log4(1/t) iterations instead of log2 (a whole-search backtrack can
+        # shrink t by 10x per round but growth only happens once per outer
+        # iteration — asymmetric recovery was a measurable convergence drag)
+        grow = jnp.where(n_trials == 1, 4.0, 2.0)
+        t_init = jnp.where(ls_ok, jnp.minimum(grow * t_acc, 1.0), 1.0)
 
         s = x_new - x
         y = g_new - g

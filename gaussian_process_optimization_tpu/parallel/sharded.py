@@ -230,6 +230,9 @@ def make_sharded_multistart_fit(template_model, mesh, restarts_per_device=1,
                          transform_overrides=transform_overrides)
     obj = make_objective(packer, priors=priors)
     n_dev = mesh.shape["data"]
+    # at least one chain per device: a (1, n) start array cannot shard over a
+    # multi-device axis (and idle devices would be pure waste anyway)
+    restarts_per_device = max(1, int(restarts_per_device))
     total = n_dev * restarts_per_device
 
     def solve_shard(starts_s, model):
@@ -253,12 +256,10 @@ def make_sharded_multistart_fit(template_model, mesh, restarts_per_device=1,
     def run(model, key):
         u0 = packer.pack(model)
         n = u0.shape[0]
-        if total > 1:
-            z = jax.random.normal(key, (total - 1, n), dtype=u0.dtype)
-            rand = jax.vmap(packer.map_restart)(z)
-            starts = jnp.concatenate([u0[None], rand])
-        else:
-            starts = u0[None]
+        # total >= n_dev by construction, so the shard always divides evenly
+        z = jax.random.normal(key, (total - 1, n), dtype=u0.dtype)
+        rand = jax.vmap(packer.map_restart)(z)
+        starts = jnp.concatenate([u0[None], rand])
         us, fs = sharded_solve(starts, model)
         fs = jnp.where(jnp.isfinite(fs), fs, jnp.inf)
         best = jnp.argmin(fs)
@@ -279,6 +280,10 @@ def make_sharded_acq_argmax(neg_acq, mesh, lower, upper, num_samples=1000,
     neg_acq(state, X) -> (n,) must be shard-local (pure predict — no
     collectives), `state` the pytree of posterior buffers. Returns
     argmax(state, key) -> (x_best, f_best); jit once per posterior structure.
+
+    This is the standalone library variant (plain box bounds). The BO stack's
+    AcquisitionOptimizer has its own mesh path with the same sharding layout
+    plus design-space features (rounding, context, constraints, dedupe).
     """
     from ..ops import lbfgs
 
