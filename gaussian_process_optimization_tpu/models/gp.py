@@ -172,6 +172,16 @@ class GPRegression:
         noise_arr = jnp.asarray(noise_var, dtype=float)
         noise_arr = noise_arr.reshape(()) if noise_arr.ndim == 0 or noise_arr.size == 1 \
             else noise_arr.reshape(-1)
+        if noise_arr.ndim == 1:
+            if noise_arr.shape[0] != n:
+                raise ValueError(
+                    f"heteroscedastic noise_var has {noise_arr.shape[0]} entries "
+                    f"for {n} data points")
+            if max_points is not None:
+                # pad like X/Y; the value is irrelevant — masked_gram overwrites
+                # padded rows with identity rows before the Cholesky
+                noise_arr = jnp.concatenate(
+                    [noise_arr, jnp.ones(max_points - n, noise_arr.dtype)])
         return cls(
             kern=kernel,
             likelihood_variance=noise_arr,
@@ -183,13 +193,28 @@ class GPRegression:
         )
 
     def with_data(self, X, Y, max_points: int | None = None):
-        """set_XY equivalent (GPy gp.py set_XY); refits the normalizer like GPy does."""
+        """set_XY equivalent (GPy gp.py set_XY); refits the normalizer like GPy does.
+
+        A heteroscedastic (vector) noise cannot be carried to a different data
+        set — the per-point variances belong to the OLD rows; pass them
+        explicitly via create() instead."""
         norm = self.normalizer is not None
+        noise = self.likelihood_variance
+        if noise.ndim == 1:
+            n_new = jnp.atleast_2d(jnp.asarray(X)).shape[0]
+            n_old = int(self.num_data) if self.mask is not None else self.X.shape[0]
+            if n_new != n_old:
+                raise ValueError(
+                    "with_data on a heteroscedastic model with a different "
+                    "number of rows: per-point noise for the new rows is "
+                    "unknown — rebuild with GPRegression.create(..., "
+                    "noise_var=<per-point variances>)")
+            noise = noise[:n_old]  # strip padding; create() re-pads
         return GPRegression.create(
             X,
             Y,
             kernel=self.kern,
-            noise_var=self.likelihood_variance,
+            noise_var=noise,
             normalizer=norm,
             mean_function=self.mean_function,
             max_points=max_points,
@@ -222,9 +247,14 @@ class GPRegression:
 
     def _noise_at_test(self):
         """Likelihood variance added at test points: scalar noise directly; for the
-        heteroscedastic model the mean of the per-point variances."""
+        heteroscedastic model the mean of the per-point variances (over REAL
+        rows only — padded entries are filler)."""
         v = self.likelihood_variance
-        return jnp.mean(v) if v.ndim > 0 else v
+        if v.ndim == 0:
+            return v
+        if self.mask is not None:
+            return jnp.sum(v * self.mask) / jnp.maximum(jnp.sum(self.mask), 1.0)
+        return jnp.mean(v)
 
     def inference(self, precompute_inverse: bool = False) -> Posterior:
         """Exact Gaussian inference (exact_gaussian_inference.py:37-75).

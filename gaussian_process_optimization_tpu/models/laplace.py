@@ -37,11 +37,6 @@ def laplace_inference(K, y, likelihood: Likelihood, maxiter=50, tol=1e-9):
     n = K.shape[0]
     eye = jnp.eye(n, dtype=K.dtype)
 
-    def objective(f):
-        return jnp.sum(likelihood.logpdf(f, y)) - 0.5 * jnp.dot(
-            f, jnp.linalg.solve(K + 1e-10 * eye, f)
-        )
-
     def newton(f):
         W = -likelihood.d2logpdf_df2(f, y)
         W = jnp.maximum(W, 1e-12)

@@ -264,10 +264,12 @@ class LVMOGP_MD:
         # per-output row quantities, gathered per observation
         d = self.out_idx
         Ef = jnp.einsum("ci,cr,ri->i", P1c, Mt, P1r[:, d])  # (n_obs,)
-        # E[f^2] over q(U), q(H): with per-point row psi2
-        M_P2_M = jnp.einsum("cr,dru,su->dcs", Mt, P2rn, Mt)  # (D, Mc, Mc)
-        Ef2_m = jnp.einsum("dcs,ci,si->id", M_P2_M, P1c, P1c)
-        Ef2_m = Ef2_m[jnp.arange(n_obs), d]
+        # E[f^2] over q(U), q(H): with per-point row psi2. Gather the output
+        # index FIRST: Ef2_m[i] = v_i^T P2rn[d_i] v_i with v_i = Mt^T P1c[:, i]
+        # — O(n_obs Mr^2), vs the old (D, Mc, Mc)-then-gather which cost a
+        # factor D more in the dominant contraction
+        V = jnp.einsum("cr,ci->ri", Mt, P1c)  # (Mr, n_obs)
+        Ef2_m = jnp.einsum("iru,ri,ui->i", P2rn[d], V, V)
         tr_P2_Sr = jnp.einsum("dru,ru->d", P2rn, Sr_t)  # (D,)
         Sc_quad = jnp.einsum("cs,ci,si->i", Sc_t, P1c, P1c)
         Ef2_S = tr_P2_Sr[d] * Sc_quad

@@ -23,6 +23,7 @@ POSITIVE_NAMES = {
     "bias_variance",
     "kappa",
     "period",
+    "noise_variance",  # StateSpaceGP's observation noise (Kalman filter logs it)
     "tau",  # IBP Beta stick parameters (models/ibp_lfm.py)
     # warping parameters: TanhWarp a/b/d, KumarWarp a/b (GPy constrains all positive)
     "a",

@@ -72,6 +72,8 @@ class SparseGPRegression:
         norm = Standardize.fit(Y) if normalizer else None
         mask = None
         if max_points is not None:
+            if max_points < n:
+                raise ValueError(f"max_points={max_points} < n={n}")
             pad = max_points - n
             X = jnp.concatenate([X, jnp.zeros((pad, d), X.dtype)])
             Y = jnp.concatenate([Y, jnp.zeros((pad, Y.shape[1]), Y.dtype)])
@@ -250,8 +252,13 @@ class SparseGPRegression:
         return jnp.sum(vals)
 
     def with_data(self, X, Y, max_points=None):
-        return SparseGPRegression.create(
+        new = SparseGPRegression.create(
             X, Y, kernel=self.kern, Z=self.Z, noise_var=self.likelihood_variance,
             normalizer=self.normalizer is not None, inference=self.inference,
             max_points=max_points,
         )
+        # create() has no pep_alpha parameter — forward it so a PEP model keeps
+        # optimizing the bound the user configured
+        from ..utils.pytree import replace as _replace
+
+        return _replace(new, pep_alpha=self.pep_alpha)

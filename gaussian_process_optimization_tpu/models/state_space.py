@@ -470,7 +470,10 @@ class StateSpaceGP:
         (mf, Pf), (ms, Ps, lls, m_pred, P_pred) = lax.scan(
             step, (m0, P_inf), (A, Q, y_s, mask_s)
         )
-        return order, t_s, (ms, Ps), (m_pred, P_pred), A, H, jnp.sum(lls)
+        # A *and* Q are returned so predict()'s RTS pass reuses this
+        # discretization — the batched expm over all steps is the dominant
+        # O(N d^3) cost and was previously recomputed
+        return order, t_s, (ms, Ps), (m_pred, P_pred), (A, Q), H, jnp.sum(lls)
 
     def log_marginal_likelihood(self):
         t = self.X[:, 0]
@@ -488,12 +491,7 @@ class StateSpaceGP:
         y_all = jnp.concatenate([y_train, jnp.zeros_like(t_new)])
         mask = jnp.concatenate([jnp.ones_like(t_train), jnp.zeros_like(t_new)])
 
-        order, t_s, (mf, Pf), _, A, H, _ = self._filter(t_all, y_all, mask)
-
-        # RTS smoother (reverse scan) over the filtered states
-        first = t_s[0:1] * 0.0 if self._origin_at_zero() else t_s[0:1]
-        dts = jnp.diff(t_s, prepend=first)
-        A2, Q2, P_inf, H2 = self._discretize(dts)
+        order, t_s, (mf, Pf), _, (A2, Q2), H2, _ = self._filter(t_all, y_all, mask)
 
         def rts(carry, inp):
             ms_next, Ps_next = carry

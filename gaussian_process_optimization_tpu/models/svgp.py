@@ -131,7 +131,15 @@ class SVGP:
     def predict(self, Xnew, include_likelihood=True, full_cov=False):
         mu, var = self._predict_f(jnp.atleast_2d(Xnew), full_cov=full_cov)
         if include_likelihood:
-            if self.likelihood is not None and not full_cov:
+            if self.likelihood is not None:
+                if full_cov:
+                    # a non-Gaussian predictive has no closed-form joint; the
+                    # old fall-through silently added the UNUSED Gaussian
+                    # likelihood_variance field to a classification covariance
+                    raise NotImplementedError(
+                        "full_cov predictive through a non-Gaussian likelihood "
+                        "has no closed form; use include_likelihood=False for "
+                        "the latent covariance")
                 ey, vy = self.likelihood.predictive(mu[:, 0], var[:, 0])
                 return ey[:, None], vy[:, None]
             if full_cov:

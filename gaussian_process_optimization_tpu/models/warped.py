@@ -81,7 +81,7 @@ class WarpedGP:
         Z = self.warp.f(self.gp.Y[..., 0])[..., None]
         if self.gp.mask is not None:
             Z = Z * self.gp.mask[:, None]
-        return jax.tree_util.tree_map(lambda x: x, self.gp), Z
+        return self.gp, Z  # callers dataclasses.replace(gp, Y=Z); gp is frozen
 
     def log_marginal_likelihood(self):
         gp, Z = self._warped_gp()
@@ -101,10 +101,18 @@ class WarpedGP:
         gp_z = dataclasses.replace(gp, Y=Z)
         return gp_z, gp_z.inference()
 
-    def predict(self, Xnew, median=False, include_likelihood=True, gh_points=20):
+    def posterior_cache(self):
+        """Precompute the warped-space posterior once (one Cholesky); pass the
+        result to predict(posterior=...) for repeated predictions — the BO
+        wrapper calls predict per acquisition point under vmap/grad, where an
+        uncached posterior re-factorizes the padded Gram every trace."""
+        return self._posterior()
+
+    def predict(self, Xnew, median=False, include_likelihood=True, gh_points=20,
+                posterior=None):
         """Warped-space predict then un-warp: median = f_inv(mu); mean/var via
         Gauss-Hermite quadrature (warped_gp.py predict:110)."""
-        gp_z, post = self._posterior()
+        gp_z, post = self._posterior() if posterior is None else posterior
         mu, var = gp_z.predict(jnp.atleast_2d(Xnew), include_likelihood=include_likelihood,
                                posterior=post)
         if median:
@@ -188,10 +196,16 @@ class InputWarpedGP:
     def log_marginal_likelihood(self):
         return self._warped().log_marginal_likelihood()
 
-    def predict(self, Xnew, include_likelihood=True):
+    def posterior_cache(self):
+        """See WarpedGP.posterior_cache."""
         gp_w = self._warped()
+        return gp_w, gp_w.inference()
+
+    def predict(self, Xnew, include_likelihood=True, posterior=None):
+        gp_w, post = self.posterior_cache() if posterior is None else posterior
         return gp_w.predict(self.warp.f(jnp.atleast_2d(Xnew)),
-                            include_likelihood=include_likelihood)
+                            include_likelihood=include_likelihood,
+                            posterior=post)
 
     def predictive_gradients(self, Xnew):
         gp_w = self._warped()

@@ -50,17 +50,22 @@ class _WarpedBase(BOModel):
             )
         self._key, sub = jax.random.split(self._key)
         self.model, _ = self._fitters[bucket](self.model, sub)
+        # one Cholesky per refit; every predict below reuses it (GPModel keeps
+        # the same invariant via self.posterior)
+        self._post = self.model.posterior_cache()
 
     def predict(self, X):
-        mu, v = self.model.predict(jnp.asarray(np.atleast_2d(X), dtype=float))
+        mu, v = self.model.predict(jnp.asarray(np.atleast_2d(X), dtype=float),
+                                   posterior=self._post)
         v = jnp.clip(v, config.variance_floor, None)
         return np.asarray(mu).reshape(len(np.atleast_2d(X)), -1), np.asarray(jnp.sqrt(v)).reshape(len(np.atleast_2d(X)), -1)
 
     def predict_withGradients(self, X):
         X = jnp.asarray(np.atleast_2d(X), dtype=float)
+        post = self._post
 
         def mu_s(x):
-            mu, v = self.model.predict(x[None, :])
+            mu, v = self.model.predict(x[None, :], posterior=post)
             v = jnp.clip(v, config.variance_floor, None)
             return jnp.ravel(mu)[0], jnp.sqrt(jnp.ravel(v)[0])
 
@@ -72,7 +77,7 @@ class _WarpedBase(BOModel):
 
     def get_fmin(self):
         gpX = self.model.gp.X
-        mu, _ = self.model.predict(gpX)
+        mu, _ = self.model.predict(gpX, posterior=self._post)
         mu = jnp.ravel(mu)
         if self.model.gp.mask is not None:
             mu = jnp.where(self.model.gp.mask > 0, mu, jnp.inf)

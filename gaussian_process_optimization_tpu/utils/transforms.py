@@ -59,8 +59,12 @@ class Positive(Transform):
 
     def inverse(self, v):
         v = jnp.asarray(v)
-        # log(exp(v) - 1), stable: v + log(1 - exp(-v))
-        safe = jnp.maximum(v, 1e-300)
+        # log(exp(v) - 1), stable: v + log(1 - exp(-v)). The clamp must be
+        # f32-representable: 1e-300 underflows to 0 in float32 and inverse(0)
+        # becomes -inf, which NaNs the whole packed vector (e.g. a
+        # linear-family StateSpaceGP whose t0 rides the 'period' slot at 0).
+        # 1e-30 keeps a zero-valued positive leaf at ~0 with a finite pack.
+        safe = jnp.maximum(v, 1e-30)
         return jnp.where(
             safe > _LIM_VAL, safe, jnp.log(jnp.expm1(jnp.minimum(safe, _LIM_VAL)))
         )

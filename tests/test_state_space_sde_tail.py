@@ -146,3 +146,29 @@ def test_rbf_spectral_gradients_finite(rng):
     eps = 1e-5
     fd = (float(lml(1.2, 1.1 + eps)) - float(lml(1.2, 1.1 - eps))) / (2 * eps)
     np.testing.assert_allclose(float(g[1]), fd, rtol=1e-4)
+
+
+def test_state_space_packs_and_fits():
+    """Regression (round-2 review): noise_variance must be positivity-constrained
+    in the packer and a linear-family t0=0 (riding the 'period' slot) must pack
+    FINITE — POSITIVE.inverse(0) used to be -inf in f32, NaN-ing every fit."""
+    import jax
+    from gaussian_process_optimization_tpu.models import fit as fit_mod
+    from gaussian_process_optimization_tpu.models.state_space import StateSpaceGP
+
+    t = np.linspace(0, 5, 40)[:, None]
+    y = np.sin(t) + 0.1 * np.random.default_rng(0).standard_normal(t.shape)
+
+    m = StateSpaceGP.create(t, y, family="matern32", noise_var=0.1)
+    fitter = fit_mod.Fitter(m, num_restarts=2, maxiter=15, tol=0.0)
+    fitted, res = fitter(m, jax.random.PRNGKey(0))
+    assert np.isfinite(float(jnp.min(res.f)))
+    assert float(fitted.noise_variance) > 0.0  # constrained, cannot go negative
+    assert float(fitted.log_marginal_likelihood()) >= float(m.log_marginal_likelihood())
+
+    # linear family: t0 = 0 rides the 'period' slot; the packed vector must be finite
+    lin = StateSpaceGP.create(t, y, family="linear", period=0.0)
+    from gaussian_process_optimization_tpu.models.parameters import make_packer
+
+    u = make_packer(lin).pack(lin)
+    assert np.all(np.isfinite(np.asarray(u))), u
