@@ -239,17 +239,35 @@ class AcquisitionLP(AcquisitionBase):
         super().__init__(model, space, optimizer)
         self.acq = acquisition
         self.transform = transform.lower()
-        if isinstance(acquisition, (AcquisitionLCB,)) and self.transform == "none":
+        # LCB is sign-indefinite, so LP must softplus it before the log
+        # (LP.py:33-34 maps BOTH AcquisitionLCB and AcquisitionLCB_MCMC; the
+        # MCMC variant lives in acquisitions_mcmc.py — name check avoids the
+        # circular import)
+        if (isinstance(acquisition, (AcquisitionLCB,))
+                or acquisition.__class__.__name__ == "AcquisitionLCB_MCMC") \
+                and self.transform == "none":
             self.transform = "softplus"
         self.X_batch = None
         self.r_x0 = None
         self.s_x0 = None
 
     def update_batches(self, X_batch, L, Min):
-        """(LP.py:40) precompute hammer radii r=(m-Min)/L and widths s=std/L (:47)."""
+        """(LP.py:40) precompute hammer radii r=(m-Min)/L and widths s=std/L.
+
+        DELIBERATE DEVIATION from LP.py:55-59: the reference takes
+        np.sqrt(pred)/L where pred is already the predictive STD — i.e.
+        sqrt(std)/L, dimensionally inconsistent with the Lipschitz argument
+        (Gonzalez et al. 2016 define the hammer width as sigma/L). We use
+        std/L, the formula the reference's own docstring describes."""
         self.X_batch = X_batch
         if X_batch is not None:
             m, s_pred = self.model.predict(np.atleast_2d(X_batch))
+            if isinstance(m, list):
+                # MCMC surrogates return per-sample lists (gpmodel.py:257-277);
+                # hammer radii use the sample-averaged surface (the reference
+                # crashes outright on LP + MCMC here — list minus float)
+                m = np.mean(np.stack(m), axis=0)
+                s_pred = np.mean(np.stack(s_pred), axis=0)
             v = np.maximum(np.square(s_pred), 1e-16)
             s = np.sqrt(v)
             self.r_x0 = ((m - Min) / L).flatten()
@@ -258,19 +276,22 @@ class AcquisitionLP(AcquisitionBase):
             self.r_x0, self.s_x0 = None, None
 
     def device_args(self):
-        gp, post, fmin, _ = self.acq.device_args()
+        # the wrapped acquisition's own device state (e.g. the stacked
+        # hyperparameter samples of the *_MCMC variants) must ride along —
+        # dropping it crashed LP over any stateful acquisition
+        gp, post, fmin, inner_state = self.acq.device_args()
         if self.X_batch is None:
-            state = None
+            batch = None
         else:
-            state = (
+            batch = (
                 jnp.asarray(self.X_batch, dtype=float),
                 jnp.asarray(self.r_x0, dtype=float),
                 jnp.asarray(self.s_x0, dtype=float),
             )
-        return gp, post, fmin, state
+        return gp, post, fmin, (inner_state, batch)
 
-    def _log_transformed(self, gp, posterior, fmin, X):
-        raw = self.acq.pure_raw_acq(gp, posterior, fmin, None, X)[:, 0]
+    def _log_transformed(self, gp, posterior, fmin, inner_state, X):
+        raw = self.acq.pure_raw_acq(gp, posterior, fmin, inner_state, X)[:, 0]
         if self.transform == "softplus":
             # log(softplus(raw)); above 40, softplus(x) ~= x (LP.py:79-81)
             return jnp.where(
@@ -281,9 +302,10 @@ class AcquisitionLP(AcquisitionBase):
 
     def pure_neg_acq(self, gp, posterior, fmin, state, X):
         """Penalized, minimize-convention (LP.py:70-92 _penalized_acquisition)."""
-        fval = -self._log_transformed(gp, posterior, fmin, X)
-        if state is not None:
-            X_batch, r, s = state
+        inner_state, batch = state if state is not None else (None, None)
+        fval = -self._log_transformed(gp, posterior, fmin, inner_state, X)
+        if batch is not None:
+            X_batch, r, s = batch
             d = jnp.sqrt(
                 jnp.maximum(
                     jnp.sum(jnp.square(X[:, None, :] - X_batch[None, :, :]), -1), 1e-32

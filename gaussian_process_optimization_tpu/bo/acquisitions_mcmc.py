@@ -29,21 +29,24 @@ class _MCMCAcquisitionBase(AcquisitionBase):
 
     def device_args(self):
         stacked, fmins = self.model.device_state_mcmc()
-        return None, None, None, (stacked, fmins)
+        # factor ONCE per argmax: the per-sample posteriors are independent of
+        # the candidate X, but computing them inside pure_raw_acq paid S
+        # Choleskys on every sweep/line-search evaluation (round-2 review)
+        posts = jax.vmap(lambda m: m.inference())(stacked)
+        return None, None, None, (stacked, posts, fmins)
 
     def _sample_acq(self, mdl, posterior, fmin, X):
         raise NotImplementedError
 
     def pure_raw_acq(self, gp, posterior, fmin, state, X):
-        stacked, fmins = state
+        stacked, posts, fmins = state
 
-        def one(mdl, fm):
-            post = mdl.inference()
+        def one(mdl, post, fm):
             mu, v = mdl.predict(X, posterior=post)
             v = jnp.clip(v, config.variance_floor, None)
             return self._sample_acq(mu, jnp.sqrt(v), fm)
 
-        vals = jax.vmap(one)(stacked, fmins)  # (S, n, 1)
+        vals = jax.vmap(one)(stacked, posts, fmins)  # (S, n, 1)
         return jnp.mean(vals, axis=0)
 
 

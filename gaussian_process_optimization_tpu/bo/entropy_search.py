@@ -103,21 +103,8 @@ class AcquisitionEntropySearch(AcquisitionBase):
         base_H = self._pmin_entropy(muZ, Lz, W)
 
         # joint predictive between x and representers via the woodbury state
-        Kx_train = gp.kern.K(gp.X, X)  # (N, n)
-        if gp.mask is not None:
-            Kx_train = Kx_train * gp.mask[:, None]
-        Kz_train = gp.kern.K(gp.X, Z)
-        if gp.mask is not None:
-            Kz_train = Kz_train * gp.mask[:, None]
-        tmp_x = linalg.solve_lower(post.L, Kx_train)  # (N, n)
-        tmp_z = linalg.solve_lower(post.L, Kz_train)  # (N, R)
-
-        mu_x = (Kx_train.T @ post.alpha)[:, 0]
-        var_x = jnp.clip(
-            gp.kern.Kdiag(X) - jnp.sum(jnp.square(tmp_x), 0), 1e-12, None
-        )
-        # cov(f(Z), f(x)) = K(Z, x) - tmp_z^T tmp_x
-        cov_zx = gp.kern.K(Z, X) - tmp_z.T @ tmp_x  # (R, n)
+        # (shared with the EPMGP variant — one implementation to fix)
+        mu_x, var_x, cov_zx = _joint_cov_with_representers(gp, post, Z, X)
 
         noise = gp.likelihood_variance
         sy = jnp.sqrt(var_x + noise)
@@ -128,17 +115,21 @@ class AcquisitionEntropySearch(AcquisitionBase):
             gain = cov_col / jnp.square(s_yi)  # (R,)
             # covariance downdate: cov_zz' = cov_zz - cov cov^T/(var+noise)
             u = cov_col / s_yi
-            # downdate the Cholesky via the posterior sample trick instead:
-            # f' = mu + dmu + (Lz w - u (u^T solve?)) — use sample-space projection:
-            # exact joint sampling: f_z | y  ==  mu_z + gain*(y - mu_x) + samples of
-            # N(0, cov_zz - u u^T). Approximate the downdated sample by removing the
-            # u-direction component from the base samples (exact when u is in the
-            # span of Lz, which it is up to the 1e-8 jitter).
+            # Covariance downdate in sample space: the conditional is
+            # N(mu', C - u u^T). With u = Lz a, a square root of C - u u^T is
+            # Lz (I - gamma a a^T) where (1 - gamma |a|^2)^2 = 1 - |a|^2, i.e.
+            # gamma = (1 - sqrt(1-|a|^2))/|a|^2 — so the base draws W Lz^T only
+            # need their a-component scaled down by gamma. (Subtracting the
+            # FULL component, gamma=1, gives covariance C - (2-|a|^2) u u^T:
+            # over-shrunk whenever noise > 0, i.e. |a| < 1 — round-2 review.)
+            a = linalg.solve_lower(Lz, u)  # (R,)
+            a2 = jnp.clip(jnp.sum(jnp.square(a)), 0.0, 1.0 - 1e-12)
+            gamma = (1.0 - jnp.sqrt(1.0 - a2)) / jnp.maximum(a2, 1e-12)
+            c = gamma * (W @ a)  # (S,) scaled component along u
+
             def entropy_for(wf):
                 y = mu_xi + s_yi * wf
                 mu_new = muZ + gain * (y - mu_xi)
-                # project out the observed direction from the base draws
-                c = W @ (linalg.solve_lower(Lz, u))  # (S,) component along u
                 f = mu_new[None, :] + W @ Lz.T - c[:, None] * u[None, :]
                 idx = jnp.argmin(f, axis=1)
                 counts = jnp.zeros((muZ.shape[0],), dtype=f.dtype).at[idx].add(1.0)

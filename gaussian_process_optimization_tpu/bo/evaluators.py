@@ -181,7 +181,12 @@ def estimate_L(model, bounds, seed=0):
     inputs, refined by L-BFGS; floor L=10 when < 1e-7
     (batch_local_penalization.py:52-76). One jitted vmapped program on device."""
     gp = model.model
-    post = model.posterior
+    post = getattr(model, "posterior", None)
+    if post is None:
+        # surrogates without a cached single posterior (GPModel_MCMC keeps a
+        # stacked sample chain instead): factor the point-estimate model once —
+        # the Lipschitz constant only needs the mean surface's scale
+        post = gp.inference(precompute_inverse=False)
 
     lo = np.asarray([b[0] for b in bounds], dtype=float)
     hi = np.asarray([b[1] for b in bounds], dtype=float)

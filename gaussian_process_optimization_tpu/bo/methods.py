@@ -276,6 +276,14 @@ class BayesianOptimization(BO):
     def _init_design_chooser(self, X, Y, seed=None):
         """Sample the initial design if X/Y not given (:181-196). Initial evaluation
         costs feed the 'evaluation_time' cost model right away."""
+        if self.f is None and (X is None or Y is None):
+            from .variables import InvalidConfigError
+
+            # bayesian_optimization.py:187 — without an objective there is
+            # nothing to evaluate the sampled design with
+            raise InvalidConfigError(
+                "Initial data for both X and Y is required when objective "
+                "function is not provided")
         cost_values = None
         if X is None:
             X = initial_design(

@@ -63,12 +63,14 @@ class SingleObjective(Objective):
         [p.join() for p in proc]
 
         f_evals = np.zeros((x.shape[0], 1))
-        cost_evals = np.zeros((x.shape[0], 1))
         for i, (_, c) in enumerate(pipe):
-            f_part, cost_part = c.recv()
+            f_part, _cost_part = c.recv()
             f_evals[i :: self.num_cores] = f_part
-            cost_evals[i :: self.num_cores] = cost_part
-        return f_evals, cost_evals
+        # cost pinned to 1 for synchronous batches, matching objective.py:96
+        # ("the time of evaluation is set to constant"): per-row wall times in a
+        # parallel batch measure worker contention, not objective cost, and
+        # would skew the 'evaluation_time' cost model vs the reference
+        return f_evals, np.ones((x.shape[0], 1))
 
 
 def spawn_process(func, samples, pipe_end):

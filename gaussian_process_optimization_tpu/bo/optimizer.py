@@ -38,14 +38,12 @@ class ContextManager:
         dm = space.model_dimensionality
         self.context_index = []
         self.context_value = []
-        model_idx = 0
         for v, msl in zip(space.space_expanded, space._model_slices):
             if v.name in self.context:
                 enc = v.objective_to_model(self.context[v.name])
                 for j, val in enumerate(enc):
                     self.context_index.append(msl.start + j)
                     self.context_value.append(float(val))
-            model_idx += v.dimensionality_in_model
         self.noncontext_index = [i for i in range(dm) if i not in set(self.context_index)]
         bounds = space.get_bounds()
         self.noncontext_bounds = [bounds[i] for i in self.noncontext_index]
@@ -270,10 +268,13 @@ class AcquisitionOptimizer:
             lo[cm.context_index] = np.asarray(cm.context_value)
             hi[cm.context_index] = np.asarray(cm.context_value)
 
+        if self.optimizer_name == "DIRECT":
+            # (optimizer.py OptDirect:64) — anchor-INDEPENDENT global search:
+            # run once, not once per anchor (round-2 review)
+            anchors = anchors[:1]
         candidates = []
         for a in anchors:
             if self.optimizer_name == "DIRECT":
-                # (optimizer.py OptDirect:64) — anchor-independent global search
                 from ..ops.direct import direct_minimize
 
                 x, fx = direct_minimize(lambda X: np.asarray(f(X)).flatten(), lo, hi,

@@ -146,6 +146,31 @@ class GPModel_MCMC(BOModel):
         """Per-sample minima of the posterior mean at X (gpmodel.py:279-295)."""
         return list(np.asarray(self._prog["fmin"](self._stacked)))
 
+    def Y_min(self):
+        """min of the real training targets — LP's `Min`
+        (batch_local_penalization.py:44)."""
+        Y = np.asarray(self.model.Y)
+        if self.model.mask is not None:
+            Y = Y[np.asarray(self.model.mask) > 0]
+        return float(Y.min())
+
+    def get_model_parameters(self):
+        """(S, P) matrix of the kept hyperparameter samples — GPyOpt's MCMC
+        contract stores the chain, not a point estimate (gpmodel.py:247-255;
+        bo_loop._save_model_parameter_values writes one row per iteration)."""
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(
+            (self._stacked.kern, self._stacked.likelihood_variance))
+        S = np.asarray(leaves[0]).shape[0]
+        return np.concatenate(
+            [np.asarray(l).reshape(S, -1) for l in leaves], axis=1)
+
+    def get_model_parameters_names(self):
+        from .parameters import _leaf_names
+
+        return _leaf_names((self.model.kern, self.model.likelihood_variance))
+
     def predict_withGradients(self, X):
         X = jnp.asarray(np.atleast_2d(X), dtype=float)
 

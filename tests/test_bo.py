@@ -90,11 +90,17 @@ def test_bo_mixed_space_gower_lp_batch():
         {"name": "xc", "type": "continuous", "domain": (0.0, 4.0)},
         {"name": "xd", "type": "discrete", "domain": (0, 1, 2, 3, 4)},
     ]
+    # ask-tell: f=None requires X AND Y at construction (the reference raises
+    # InvalidConfigError otherwise, bayesian_optimization.py:187 — so do we)
+    from gaussian_process_optimization_tpu.bo.space import DesignSpace
+    from gaussian_process_optimization_tpu.bo.designs import initial_design
+
+    X = initial_design("latin_mixed", DesignSpace(domain), 8, seed=3)
     bo = BayesianOptimization(
         f=None,
         domain=domain,
-        X=None,
-        Y=None,
+        X=X,
+        Y=balance(X),
         model_type="GP",
         acquisition_type="EI",
         evaluator_type="local_penalization",
@@ -107,12 +113,6 @@ def test_bo_mixed_space_gower_lp_batch():
         de_duplication=True,
         seed=3,
     )
-    # ask-tell with explicit design since f is None
-    from gaussian_process_optimization_tpu.bo.designs import initial_design
-
-    X = initial_design("latin_mixed", bo.space, 8, seed=3)
-    bo.X = X
-    bo.Y = balance(X)
     batch = bo.suggest_next_locations()
     assert batch.shape == (3, 2)
     # discrete column must hold allowed values
