@@ -40,12 +40,26 @@ class Kernel:
     def Kdiag(self, X):
         raise NotImplementedError
 
+    def _pairwise_diag(self, X):
+        """O(N) fallback diagonal: vmapped single-pair K evaluations. For
+        kernels whose closed forms live in K (LFM/RKHS families), this replaces
+        the diagonal-of-full-K pattern that paid O(N^2) transcendental work for
+        an O(N) result, while keeping the formulas single-sourced."""
+        import jax
+
+        return jax.vmap(lambda a: self.K(a[None, :], a[None, :])[0, 0])(X)
+
     # combination algebra
     def __add__(self, other):
-        return Add(parts=self._flat_parts(Add) + other._flat_parts(Add))
+        parts = self._flat_parts(Add) + other._flat_parts(Add)
+        # propagate the widest member's input_dim — consumers (SplitKern,
+        # MultioutputKern) size index columns from it, and the static default
+        # of 1 misreports every composite
+        return Add(parts=parts, input_dim=max(p.input_dim for p in parts))
 
     def __mul__(self, other):
-        return Prod(parts=self._flat_parts(Prod) + other._flat_parts(Prod))
+        parts = self._flat_parts(Prod) + other._flat_parts(Prod)
+        return Prod(parts=parts, input_dim=max(p.input_dim for p in parts))
 
     def _flat_parts(self, combo_cls):
         if isinstance(self, combo_cls):

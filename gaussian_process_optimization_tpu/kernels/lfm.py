@@ -17,10 +17,13 @@ closed-form in erf:
 Inputs carry (time, function index) with index < output_dim selecting output j
 and index >= output_dim selecting latent r = index - output_dim (the reference's
 layout, eq_ode1.py:84-122). The reference evaluates per-index slices with
-erfcx/lnDifErf guards; here the blocks are branchless masked assemblies and the
-plain-erf forms are used (accurate for moderate nu = d*l/2; the quadrature tests
-in tests/test_lfm.py pin k_fu and k_ff against numerical integration of the
-defining ODE integrals).
+erfcx/lnDifErf guards (eq_ode1.py:633); here the blocks are branchless masked
+assemblies and every exp*erf product goes through `_exp_diferf`, the branchless
+equivalent of lnDifErf — the naive exp(nu^2)*[erf+erf] forms overflow to
+inf*0=NaN once nu = d*l/2 exceeds ~9 in f32, and a NaN anywhere poisons
+gradients of masked entries too (0*NaN in the where-VJP). Quadrature tests in
+tests/test_lfm.py pin k_fu and k_ff against numerical integration of the
+defining ODE integrals.
 """
 from __future__ import annotations
 
@@ -35,6 +38,45 @@ _SQPI = 1.7724538509055159
 
 def _erf(x):
     return jax.scipy.special.erf(x)
+
+
+def _erfcx(x):
+    """Scaled complementary error function erfcx(x) = exp(x^2) erfc(x) for real
+    x, via the Faddeeva function: erfcx(x) = Re[wofz(i x)]."""
+    from ..ops.special import wofz
+
+    return jnp.real(wofz(1j * x))
+
+
+def _exp_diferf(c, z1, z2):
+    """exp(c) * (erf(z2) - erf(z1)) without intermediate overflow — the
+    branchless analog of the reference's lnDifErf (eq_ode1.py:633-649).
+
+    Three regimes, each with the exponent already cancelled:
+    - z1 > 0:               exp(c - z1^2) (erfcx(z1) - erfcx(z2) e^{z1^2-z2^2})
+    - z2 < 0 (mirror):      same formula on (-z2, -z1) (erf is odd)
+    - z1 <= 0 <= z2:        the erf difference is O(1) and, for every exponent
+                            this kernel produces, c <= 0 here (shown per term
+                            at the call sites) — plain exp(c)*(erf2-erf1).
+    Unused lanes get safe dummy arguments so the where-VJP stays finite."""
+    c, z1, z2 = jnp.broadcast_arrays(c, z1, z2)
+    inA = z1 > 0.0
+    inB = (~inA) & (z2 < 0.0)
+
+    def regimeA(cm, a1, a2):
+        return jnp.exp(cm - jnp.square(a1)) * (
+            _erfcx(a1) - _erfcx(a2) * jnp.exp(jnp.square(a1) - jnp.square(a2))
+        )
+
+    # the exponent must be masked in UNUSED lanes too: a where() only masks the
+    # value, and inf in a dead branch becomes NaN in the where-VJP
+    vA = regimeA(jnp.where(inA, c, 0.0),
+                 jnp.where(inA, z1, 1.0), jnp.where(inA, z2, 2.0))
+    vB = regimeA(jnp.where(inB, c, 0.0),
+                 jnp.where(inB, -z2, 1.0), jnp.where(inB, -z1, 2.0))
+    safe_c = jnp.where(inA | inB, 0.0, jnp.minimum(c, 80.0))
+    vC = jnp.exp(safe_c) * (_erf(z2) - _erf(z1))
+    return jnp.where(inA, vA, jnp.where(inB, vB, vC))
 
 
 @pytree_dataclass
@@ -74,20 +116,28 @@ class EQ_ODE1(Kernel):
         return jnp.exp(-jnp.square(t - t2) / jnp.square(l))
 
     def _k_fu(self, t, d, t2, l):
-        """Cov[y_j(t), u(t')] for decay d, latent lengthscale l."""
+        """Cov[y_j(t), u(t')] for decay d, latent lengthscale l.
+
+        = (sqrt(pi) l/2) exp(nu^2 - d(t-t')) [erf((t-t')/l - nu) + erf(t'/l + nu)]
+        via _exp_diferf with z1 = nu - (t-t')/l, z2 = t'/l + nu. Regime-C safety:
+        z1 <= 0 means nu <= (t-t')/l, so c = nu^2 - 2 nu (t-t')/l <= -nu^2 <= 0."""
         nu = d * l / 2.0
-        return (_SQPI * l / 2.0) * jnp.exp(jnp.square(nu)) * jnp.exp(-d * (t - t2)) \
-            * (_erf((t - t2) / l - nu) + _erf(t2 / l + nu))
+        tau = t - t2
+        c = jnp.square(nu) - d * tau
+        return (_SQPI * l / 2.0) * _exp_diferf(c, nu - tau / l, t2 / l + nu)
 
     def _h(self, t, t2, dj, dk, l):
-        """h(t, t'; d_j, d_k) (Lawrence et al. 2007 eq. 7-style)."""
+        """h(t, t'; d_j, d_k) (Lawrence et al. 2007 eq. 7-style), stabilized.
+
+        Both terms go through _exp_diferf; the second term's regime-C exponent
+        c2 = nu^2 - dk t - dj t' = -t^2/l^2 - dj t' + (z1-regime corrections)
+        is <= 0 whenever z1 = nu - t/l <= 0 and t' >= 0."""
         nu = dk * l / 2.0
-        expnu2 = jnp.exp(jnp.square(nu))
-        term1 = jnp.exp(-dk * (t - t2)) * (
-            _erf((t - t2) / l - nu) + _erf(t2 / l + nu)
-        )
-        term2 = jnp.exp(-(dk * t + dj * t2)) * (_erf(t / l - nu) + _erf(nu))
-        return expnu2 / (dj + dk) * (term1 - term2)
+        tau = t - t2
+        term1 = _exp_diferf(jnp.square(nu) - dk * tau, nu - tau / l, t2 / l + nu)
+        term2 = _exp_diferf(jnp.square(nu) - (dk * t + dj * t2), nu - t / l,
+                            nu * jnp.ones_like(t - t2))
+        return (term1 - term2) / (dj + dk)
 
     def _k_ff(self, t, dj, t2, dk, l):
         # derived by integrating k_fu once more against e^{-dj(t-s)}:
@@ -100,8 +150,8 @@ class EQ_ODE1(Kernel):
     # ---- assembly over the (time, index) layout ---------------------------
     def K(self, X, X2=None):
         X2c = X if X2 is None else X2
-        t1, i1 = X[:, 0], X[:, -1].astype(int)
-        t2, i2 = X2c[:, 0], X2c[:, -1].astype(int)
+        t1, i1 = X[:, 0], jnp.rint(X[:, -1]).astype(int)
+        t2, i2 = X2c[:, 0], jnp.rint(X2c[:, -1]).astype(int)
         P = self.output_dim
         is_out1 = (i1 < P)[:, None]
         is_out2 = (i2 < P)[None, :]
@@ -136,7 +186,7 @@ class EQ_ODE1(Kernel):
         return out
 
     def Kdiag(self, X):
-        return jnp.diagonal(self.K(X))
+        return self._pairwise_diag(X)  # O(N), single-sourced closed forms
 
 
 # ----------------------------------------------------------- second-order LFM
@@ -268,8 +318,8 @@ class EQ_ODE2(Kernel):
 
     def K(self, X, X2=None):
         X2c = X if X2 is None else X2
-        t1, i1 = X[:, 0], X[:, -1].astype(int)
-        t2, i2 = X2c[:, 0], X2c[:, -1].astype(int)
+        t1, i1 = X[:, 0], jnp.rint(X[:, -1]).astype(int)
+        t2, i2 = X2c[:, 0], jnp.rint(X2c[:, -1]).astype(int)
         P = self.output_dim
         is_out1 = (i1 < P)[:, None]
         is_out2 = (i2 < P)[None, :]
@@ -299,7 +349,7 @@ class EQ_ODE2(Kernel):
         return out
 
     def Kdiag(self, X):
-        return jnp.diagonal(self.K(X))
+        return self._pairwise_diag(X)  # O(N), single-sourced closed forms
 
     def Kdiag_per_force(self, X):
         """Per-latent-force diagonal decomposition for OUTPUT rows:

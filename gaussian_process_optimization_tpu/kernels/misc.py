@@ -67,7 +67,7 @@ class Symmetric(Kernel):
                 + self.sign * k(X, X2A) + k(XA, X2A))
 
     def Kdiag(self, X):
-        return jnp.diagonal(self.K(X))
+        return self._pairwise_diag(X)  # O(N), single-sourced closed forms
 
 
 @pytree_dataclass

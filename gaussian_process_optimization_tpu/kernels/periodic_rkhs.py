@@ -123,7 +123,7 @@ class _PeriodicRKHS(Kernel):
         return FX @ jnp.linalg.solve(G, FX2.T)
 
     def Kdiag(self, X):
-        return jnp.diagonal(self.K(X))
+        return self._pairwise_diag(X)  # O(N), single-sourced closed forms
 
 
 @pytree_dataclass

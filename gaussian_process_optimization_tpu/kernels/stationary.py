@@ -117,7 +117,10 @@ class Stationary(Kernel):
         from ..config import pallas_enabled
         from ..ops import pallas_kernels
 
-        if pallas_enabled() and pallas_kernels.supports(self, X, X2):
+        # supports() itself admits interpret mode (config.pallas_interpret), so
+        # gate on it alone — the extra pallas_enabled() here silently disabled
+        # CPU interpret-mode testing of the real kernels
+        if pallas_kernels.supports(self, X, X2):
             return pallas_kernels.stationary_K(self, X, X2)
         r = self._scaled_dist(X, X2)
         return self.K_of_r(r)

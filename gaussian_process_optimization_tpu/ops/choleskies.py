@@ -41,8 +41,10 @@ def backprop_gradient(dL, L):
     """Reverse-mode derivative of the Cholesky decomposition: given dF/dL and L,
     return dF/dA where A = L L^T (choleskies_cython.pyx:48; Murray 2016).
     Implemented as two triangular solves."""
+    from .linalg import _phi
+
     dL = jnp.tril(dL)
-    P = jnp.tril(L.T @ dL) - 0.5 * jnp.diag(jnp.diagonal(L.T @ dL))
+    P = _phi(L.T @ dL)  # shared with linalg._jitchol_bwd — one pullback to fix
     tmp = lax.linalg.triangular_solve(L, P, left_side=True, lower=True, transpose_a=True)
     S = lax.linalg.triangular_solve(
         L, tmp.T, left_side=True, lower=True, transpose_a=True

@@ -55,7 +55,10 @@ def cma_minimize(f, x0, lower, upper, sigma0=0.3, max_evals=500, seed=0):
         m_old = m
         m = w @ Xs
         zmean = w @ Zs
-        ps = (1 - cs) * ps + np.sqrt(cs * (2 - cs) * mu_eff) * (A @ zmean)
+        # conjugate path uses the WHITENED step (Hansen's invsqrtC*(m-m')/sigma
+        # == an orthogonal transform of zmean): A @ zmean would scale ||ps||
+        # with C's eigenvalues and bias the step-size/hsig control
+        ps = (1 - cs) * ps + np.sqrt(cs * (2 - cs) * mu_eff) * zmean
         hsig = np.linalg.norm(ps) / np.sqrt(1 - (1 - cs) ** (2 * gen)) / chiN < 1.4 + 2 / (d + 1)
         pc = (1 - cc) * pc + hsig * np.sqrt(cc * (2 - cc) * mu_eff) * (m - m_old) / sigma
         artmp = (Xs - m_old) / sigma

@@ -50,7 +50,6 @@ def direct_minimize(f, lower, upper, max_evals=300, eps=1e-4):
             po_final = [int(np.argmax(sizes))]
 
         new_centers, new_sides, new_fvals = [], [], []
-        kill = set()
         for j in po_final:
             c, s = C[j].copy(), S[j].copy()
             long_dims = np.where(np.isclose(s, s.max()))[0]
@@ -79,9 +78,7 @@ def direct_minimize(f, lower, upper, max_evals=300, eps=1e-4):
                     new_centers.append(cc)
                     new_sides.append(s_cur.copy())
                     new_fvals.append(float(v))
-            kill.add(j)
             centers[j] = c
-            sides[j] = s_cur
             # fvals[j] unchanged (center retained with shrunk sides)
             sides[j] = s_cur.copy()
         centers.extend(new_centers)

@@ -30,6 +30,10 @@ class LBFGSResult(NamedTuple):
     # total objective evaluations spent in line searches (diagnostic: each is a
     # full forward pass — the dominant fit cost when backtracking is pathological)
     num_ls: jnp.ndarray = None
+    # True when the run STOPPED because a line search failed at max_ls trials
+    # (scipy's ABNORMAL_TERMINATION analog) — distinct from `converged`, which
+    # reports a projected-gradient tolerance stop only
+    failed: jnp.ndarray = None
 
 
 def _project(x, lower, upper):
@@ -84,6 +88,7 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         jnp.asarray(False),        # converged
         jnp.int32(0),              # total line-search trials
         jnp.asarray(1.0, dtype),   # warm-start trial step t_init
+        jnp.asarray(False),        # a line search failed at max_ls trials
     )
 
     def two_loop(k, g, S, Ys, rho, gamma):
@@ -211,7 +216,8 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         return (~converged) & (k < maxiter)
 
     def body(state):
-        k, x, f, g, S, Ys, rho, gamma, xb, fb, frozen, n_ls, t_init = state
+        (k, x, f, g, S, Ys, rho, gamma, xb, fb, frozen, n_ls, t_init,
+         ls_failed) = state
         d = two_loop(k, g, S, Ys, rho, gamma)
         # safeguard: if d is not a descent direction, fall back to steepest descent
         descent = jnp.dot(g, d) < 0
@@ -248,18 +254,25 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
 
         pg = proj_grad(x_new, g_new)
         small_grad = jnp.max(jnp.abs(pg)) < tol
-        converged = frozen | small_grad | (~ls_ok)
-        return (k + 1, x_new, f_new, g_new, S, Ys, rho, gamma, xb, fb, converged,
-                n_ls, t_init)
+        # the loop stops on EITHER outcome, but they are reported separately:
+        # `frozen` drives the vmap freeze trick, `ls_failed` records failure
+        frozen_new = frozen | small_grad | (~ls_ok)
+        ls_failed = ls_failed | (~ls_ok & ~frozen)
+        return (k + 1, x_new, f_new, g_new, S, Ys, rho, gamma, xb, fb, frozen_new,
+                n_ls, t_init, ls_failed)
 
     final = lax.while_loop(cond, body, init_state)
-    k, _, _, _, _, _, _, _, xb, fb, converged, n_ls, _ = final
+    k, _, _, _, _, _, _, _, xb, fb, frozen_final, n_ls, _, ls_failed = final
 
     # If even the initial point is non-finite, return x0 (GPyOpt optimizer.py:54-56).
     bad_start = ~jnp.isfinite(f0)
     xb = jnp.where(bad_start, x0, xb)
     fb = jnp.where(bad_start, f0, fb)
-    return LBFGSResult(x=xb, f=fb, num_iters=k, converged=converged, num_ls=n_ls)
+    # frozen_final = stopped early (tolerance OR failure); converged = the
+    # tolerance cases only. A lane that ran out of maxiter is neither.
+    converged = frozen_final & ~ls_failed & ~bad_start
+    return LBFGSResult(x=xb, f=fb, num_iters=k, converged=converged, num_ls=n_ls,
+                       failed=ls_failed | bad_start)
 
 
 def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5,

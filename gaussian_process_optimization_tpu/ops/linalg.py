@@ -37,33 +37,44 @@ def _phi(X):
 
 
 def _jitchol_loop(A, maxtries):
+    """Jitter-ladder Cholesky, batch-aware: for stacked input (..., n, n) each
+    lane gets its OWN ladder position (a failing lane escalates its jitter
+    without touching already-factored lanes), `jitter` and `ok` have the batch
+    shape. The usual vmapped path sees the unbatched (n, n) case."""
     n = A.shape[-1]
+    batch = A.shape[:-2]
     eye = jnp.eye(n, dtype=A.dtype)
-    diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
+    diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)  # batch
 
     def _attempt(k):
+        # k: int32 with the batch shape
         jitter = jnp.where(
             k == 0,
             jnp.zeros_like(diag_mean),
             diag_mean * config.jitchol_base * 10.0 ** jnp.maximum(k - 1, 0),
         ).astype(A.dtype)
-        L = jnp.linalg.cholesky(A + jitter * eye)
-        ok = jnp.all(jnp.isfinite(L))
+        L = jnp.linalg.cholesky(A + jitter[..., None, None] * eye)
+        ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))  # per-lane verdict
         return L, jitter, ok
 
-    L0, j0, ok0 = _attempt(jnp.int32(0))
+    k0 = jnp.zeros(batch, jnp.int32)
+    L0, j0, ok0 = _attempt(k0)
 
     def cond(state):
         k, _, _, ok = state
-        return jnp.logical_and(jnp.logical_not(ok), k < maxtries)
+        return jnp.any(~ok & (k < maxtries))
 
     def body(state):
-        k, _, _, _ = state
-        k = k + 1
+        k, L_prev, j_prev, ok_prev = state
+        k = jnp.where(ok_prev, k, k + 1)
         L, jitter, ok = _attempt(k)
-        return (k, L, jitter, ok)
+        # keep already-successful lanes untouched
+        keep = ok_prev[..., None, None] if batch else ok_prev
+        L = jnp.where(keep, L_prev, L)
+        jitter = jnp.where(ok_prev, j_prev, jitter)
+        return (k, L, jitter, ok | ok_prev)
 
-    _, L, jitter, ok = lax.while_loop(cond, body, (jnp.int32(0), L0, j0, ok0))
+    _, L, jitter, ok = lax.while_loop(cond, body, (k0, L0, j0, ok0))
     return L, jitter, ok
 
 

@@ -168,3 +168,42 @@ def test_lfm_gp_regression_smoke(rng):
     mu, _ = m.predict(jnp.asarray(Xq), include_likelihood=False)
     corr = np.corrcoef(np.asarray(mu)[:, 0], np.sin(np.pi * tq))[0, 1]
     assert corr > 0.95, corr
+
+
+def test_eq_ode1_large_nu_no_overflow():
+    """Regression (round-2 review): the naive exp(nu^2)*[erf+erf] forms overflow
+    at nu = d*l/2 ~ 9+ (f32) and NaN-poison gradients even of masked entries;
+    the lnDifErf-style _exp_diferf forms must stay finite and match quadrature.
+    """
+    import jax
+
+    k = EQ_ODE1.create(output_dim=2, rank=1, lengthscale=[5.0], decay=[4.0, 10.0],
+                       W=np.asarray([[1.0], [0.7]]))
+    t = np.linspace(0.0, 20.0, 8)
+    X = np.stack([np.concatenate([t, t]),
+                  np.concatenate([np.zeros(8), np.ones(8)])], axis=1)
+    K = np.asarray(k.K(jnp.asarray(X)))
+    assert np.all(np.isfinite(K)), K
+    # PSD-ish: symmetric; diagonal positive for t > 0 (y(0) = 0 in the SIM ODE)
+    np.testing.assert_allclose(K, K.T, atol=1e-8)
+    d = np.diag(K)
+    assert np.all(d >= 0) and np.all(d[np.concatenate([t, t]) > 0] > 0)
+
+    # gradients through a masked assembly must be finite too
+    def loss(kern):
+        return jnp.sum(jnp.square(kern.K(jnp.asarray(X))))
+
+    g = jax.grad(loss)(k)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # value check vs quadrature for one k_fu entry in the big-nu regime
+    from scipy.integrate import quad
+
+    d, l = 4.0, 5.0
+    tt, tp = 6.0, 2.0
+    expected = quad(lambda s: np.exp(-d * (tt - s)) * np.exp(-((s - tp) ** 2) / l**2),
+                    0.0, tt)[0]
+    got = float(k._k_fu(jnp.asarray(tt), jnp.asarray(d), jnp.asarray(tp),
+                        jnp.asarray(l)))
+    np.testing.assert_allclose(got, expected, rtol=1e-6)

@@ -137,3 +137,22 @@ def test_tri_inv_lower_batched(rng):
         np.testing.assert_allclose(np.asarray(Li[b]),
                                    np.linalg.inv(np.asarray(Ls[b])),
                                    rtol=1e-7, atol=1e-8)
+
+
+def test_jitchol_batched_per_lane_ladder(rng):
+    """Batched (stacked) jitchol: per-lane jitter ladders — a non-PD lane
+    escalates its own jitter without perturbing PD lanes (round-2 review: the
+    old broadcast applied a (B,) jitter as a per-column pattern, or crashed)."""
+    good = _random_pd(rng, 8)
+    bad = np.eye(8)
+    bad[0, 0] = -1.0  # genuinely non-PD; ladder must rescue it
+    A = jnp.asarray(np.stack([good, bad]))
+    L, jitter, ok = linalg.jitchol(A)
+    assert L.shape == (2, 8, 8) and jitter.shape == (2,) and ok.shape == (2,)
+    # PD lane: untouched, zero jitter, exact factor
+    assert float(jitter[0]) == 0.0 and bool(ok[0])
+    np.testing.assert_allclose(np.asarray(L[0]), np.linalg.cholesky(good),
+                               rtol=1e-10)
+    # non-PD lane: positive jitter was applied and the factor is finite
+    assert float(jitter[1]) > 0.0
+    assert np.all(np.isfinite(np.asarray(L[1]))) == bool(ok[1])
