@@ -49,9 +49,22 @@ def objective(X):
 
 
 def main(iterations=4, batch=3, seed=0, state_file="mixed_bo_state.npz"):
+    # f=None (ask-tell) requires X and Y at construction — build the design (or
+    # resume it) FIRST, exactly as the reference demands
+    from gaussian_process_optimization_tpu.bo.space import DesignSpace
+
+    if Path(state_file).exists():
+        X, Y, _ = ser.load_bo_state(state_file)
+        print(f"resumed {len(X)} evaluations from {state_file}")
+    else:
+        X = initial_design("latin_mixed", DesignSpace(DOMAIN), 12, seed=seed)
+        Y = objective(X)
+
     bo = BayesianOptimization(
         f=None,
         domain=DOMAIN,
+        X=X,
+        Y=Y,
         model_type="GP",
         acquisition_type="EI",
         evaluator_type="local_penalization",
@@ -61,13 +74,6 @@ def main(iterations=4, batch=3, seed=0, state_file="mixed_bo_state.npz"):
         de_duplication=True,
         seed=seed,
     )
-    # resume or fresh design
-    if Path(state_file).exists():
-        X, Y, _ = ser.load_bo_state(state_file)
-        print(f"resumed {len(X)} evaluations from {state_file}")
-    else:
-        X = initial_design("latin_mixed", bo.space, 12, seed=seed)
-        Y = objective(X)
 
     for it in range(iterations):
         bo.X, bo.Y = X, Y
