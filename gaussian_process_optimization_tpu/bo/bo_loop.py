@@ -270,12 +270,20 @@ class BO:
     def plot_acquisition(self, filename=None, label_x=None, label_y=None):
         from ..utils.plotting import plot_acquisition
 
+        # strip the padded buffer rows (gp.py pads X/Y to the bucket size with
+        # zeros, which np.isfinite cannot distinguish from real observations)
+        Xd = np.asarray(self.model.model.X)
+        Yd = np.asarray(self.model.model.Y)
+        m = getattr(self.model.model, "mask", None)
+        if m is not None:
+            keep = np.asarray(m) > 0
+            Xd, Yd = Xd[keep], Yd[keep]
         return plot_acquisition(
             self.acquisition.space.get_bounds(),
             self.model.model.X.shape[1],
             self.model,
-            np.asarray(self.model.model.X),
-            np.asarray(self.model.model.Y),
+            Xd,
+            Yd,
             self.acquisition.acquisition_function,
             self.suggest_next_locations(),
             filename=filename,

@@ -94,7 +94,11 @@ def make_sharded_vardtc_lml(mesh):
 
     def stats_shard(kern, Z, X_s, Y_s, mask_s):
         m = Z.shape[0]
-        Kmm = kern.K(Z) + 1e-6 * jnp.eye(m, dtype=X_s.dtype)
+        # SCALED jitter, matching the single-device twin (models/sparse.py):
+        # absolute 1e-6 is 100x too weak once the kernel variance fits to ~100
+        # and broke the documented exact-parity contract
+        Kmm = kern.K(Z)
+        Kmm = Kmm + 1e-6 * jnp.mean(jnp.diagonal(Kmm)) * jnp.eye(m, dtype=X_s.dtype)
         Lm, _, okm = linalg.jitchol(Kmm)
         Kmn = kern.K(Z, X_s) * mask_s[None, :]
         Kdiag = kern.Kdiag(X_s) * mask_s
@@ -154,11 +158,11 @@ def make_sharded_svgp_step(model_template, mesh, learning_rate=1e-2):
         # sum of local losses over shards == global loss:
         # -(scale * sum_i ell_i - KL)  ==  sum_shards[ -(scale * ell_shard - KL/p) ]
         mdl = packer.unpack(u, reference=model_ref)
-        sigma2 = mdl.likelihood_variance + config.noise_jitter
         mu, var = mdl._predict_f(X_s)
-        ell = -0.5 * (LOG_2_PI + jnp.log(sigma2)) - 0.5 * (
-            jnp.square(Y_s - mu) + var
-        ) / sigma2
+        # model's own E_q[log p(y|f)] — Gaussian closed form OR Gauss-Hermite
+        # for non-Gaussian likelihoods; the old inlined Gaussian formula
+        # silently trained classification SVGPs against the wrong objective
+        ell = mdl._expected_log_lik(Y_s, mu, var)
         b_global = X_s.shape[0] * p_data
         scale = mdl.num_data / b_global
         return -(scale * jnp.sum(ell) - mdl.kl() / p_data)

@@ -35,11 +35,14 @@ class Packer:
         def _broadcast(spec, default):
             if spec is None:
                 return [default] * len(leaves)
+            # None IS a valid per-leaf value (identity) — is_leaf must admit it
+            # or tree_leaves silently drops the node and the count check
+            # rejects the documented 'Transform or None' usage
             spec_leaves = jax.tree_util.tree_leaves(
-                spec, is_leaf=lambda x: isinstance(x, Transform)
+                spec, is_leaf=lambda x: x is None or isinstance(x, Transform)
             )
             if len(spec_leaves) == len(leaves):
-                return list(spec_leaves)
+                return [default if l is None else l for l in spec_leaves]
             raise ValueError(
                 f"spec has {len(spec_leaves)} leaves, template has {len(leaves)}"
             )
@@ -48,7 +51,16 @@ class Packer:
         if fixed is None:
             self._fixed = [False] * len(leaves)
         else:
-            self._fixed = [bool(f) for f in jax.tree_util.tree_leaves(fixed)]
+            fixed_leaves = jax.tree_util.tree_leaves(
+                fixed, is_leaf=lambda x: x is None or isinstance(x, bool)
+            )
+            if len(fixed_leaves) != len(leaves):
+                # zip would silently TRUNCATE the packed vector otherwise,
+                # quietly excluding parameters from optimization
+                raise ValueError(
+                    f"fixed spec has {len(fixed_leaves)} leaves, template has "
+                    f"{len(leaves)}")
+            self._fixed = [bool(f) for f in fixed_leaves]
         self.num_free = sum(s for s, f in zip(self._sizes, self._fixed) if not f)
 
     def pack(self, params: Any) -> jnp.ndarray:

@@ -28,8 +28,9 @@ def plot_acquisition(bounds, input_dim, model, Xdata, Ydata, acquisition_functio
         ax1.plot(x_grid, m, "k-", label="posterior mean")
         ax1.fill_between(x_grid[:, 0], (m - 1.96 * s)[:, 0], (m + 1.96 * s)[:, 0],
                          alpha=0.25, label="95% CI")
-        mask = np.isfinite(Ydata[:, 0]) if Ydata.ndim > 1 else np.isfinite(Ydata)
-        ax1.plot(Xdata[mask, 0], np.atleast_2d(Ydata)[mask, 0], "r.", markersize=10,
+        Ycol = Ydata[:, 0] if Ydata.ndim > 1 else np.asarray(Ydata).ravel()
+        mask = np.isfinite(Ycol)
+        ax1.plot(Xdata[mask, 0], Ycol[mask], "r.", markersize=10,
                  label="observations")
         ax1.axvline(float(np.atleast_2d(suggested_sample)[0, 0]), color="r", ls="--")
         ax1.legend(loc="best")

@@ -280,12 +280,17 @@ def plot_data(model, ax=None, filename=None):
     return fig
 
 
-def plot_mean(model, ax=None, resolution=200, filename=None, bounds=None):
-    """(gpy_plot/gp_plots.py plot_mean)"""
+def plot_mean(model, ax=None, resolution=200, filename=None, bounds=None,
+              precomputed=None):
+    """(gpy_plot/gp_plots.py plot_mean). `precomputed=(xs, mu, sd)` lets the
+    composite plot() share one posterior inference across layers."""
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
-    xs = _grid_1d(model, resolution, bounds)
-    mu, _ = _predict_np(model, xs)
+    if precomputed is None:
+        xs = _grid_1d(model, resolution, bounds)
+        mu, _ = _predict_np(model, xs)
+    else:
+        xs, mu, _ = precomputed
     pl.plot(axes[0], xs[:, 0], mu, color="b", label="mean")
     if filename and fig is not None:
         pl.save(fig, filename)
@@ -293,14 +298,17 @@ def plot_mean(model, ax=None, resolution=200, filename=None, bounds=None):
 
 
 def plot_confidence(model, ax=None, resolution=200, lower=2.5, upper=97.5,
-                    filename=None, bounds=None):
+                    filename=None, bounds=None, precomputed=None):
     """(gpy_plot/gp_plots.py plot_confidence): central credible band."""
     from scipy.stats import norm
 
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
-    xs = _grid_1d(model, resolution, bounds)
-    mu, sd = _predict_np(model, xs)
+    if precomputed is None:
+        xs = _grid_1d(model, resolution, bounds)
+        mu, sd = _predict_np(model, xs)
+    else:
+        xs, mu, sd = precomputed
     zl, zu = norm.ppf(lower / 100.0), norm.ppf(upper / 100.0)
     pl.fill_between(axes[0], xs[:, 0], mu + zl * sd, mu + zu * sd, alpha=0.3,
                     label=f"{upper - lower:.0f}% CI")
@@ -363,8 +371,12 @@ def plot(model, ax=None, resolution=200, samples=0, filename=None, title=None,
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
     a = axes[0]
-    plot_confidence(model, ax=a, resolution=resolution, bounds=bounds)
-    plot_mean(model, ax=a, resolution=resolution, bounds=bounds)
+    # one posterior inference for both layers (each used to re-run predict,
+    # i.e. a fresh Cholesky per layer for uncached models)
+    xs = _grid_1d(model, resolution, bounds)
+    mu, sd = _predict_np(model, xs)
+    plot_confidence(model, ax=a, precomputed=(xs, mu, sd))
+    plot_mean(model, ax=a, precomputed=(xs, mu, sd))
     if samples:
         plot_samples(model, ax=a, resolution=resolution, samples=samples,
                      bounds=bounds, key=key)

@@ -129,8 +129,11 @@ def log_prior(priors, params) -> jnp.ndarray:
     if priors is None:
         return jnp.asarray(0.0)
     total = 0.0
+    # None IS a valid leaf here (the docstring promises "None leaves
+    # contribute 0") — without is_leaf admitting it, tree_leaves drops None
+    # nodes and the count check below rejects exactly the documented usage
     flat_priors = jax.tree_util.tree_leaves(
-        priors, is_leaf=lambda x: isinstance(x, Prior)
+        priors, is_leaf=lambda x: x is None or isinstance(x, Prior)
     )
     flat_params = jax.tree_util.tree_leaves(params)
     if len(flat_priors) != len(flat_params):

@@ -51,7 +51,10 @@ def from_dict(d):
         # Security: a checkpoint names classes to instantiate with its own kwargs.
         # Restrict resolution to this package so an untrusted file can't be used
         # as a gadget-instantiation vector (ADVICE round 1).
-        if not mod_name.startswith("gaussian_process_optimization_tpu"):
+        _pkg = "gaussian_process_optimization_tpu"
+        # exact-or-dotted-prefix: bare startswith admits any module whose name
+        # merely begins with the package name (e.g. <pkg>_evil on sys.path)
+        if not (mod_name == _pkg or mod_name.startswith(_pkg + ".")):
             raise ValueError(
                 f"refusing to instantiate {d['__class__']!r}: only classes under "
                 "gaussian_process_optimization_tpu.* may appear in checkpoints"
