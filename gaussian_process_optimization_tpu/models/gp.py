@@ -245,16 +245,39 @@ class GPRegression:
             noise = jnp.maximum(noise, config.f32_noise_floor)
         return noise
 
-    def _noise_at_test(self):
-        """Likelihood variance added at test points: scalar noise directly; for the
-        heteroscedastic model the mean of the per-point variances (over REAL
-        rows only — padded entries are filler)."""
+    def _noise_at_test(self, noise_at_test=None):
+        """Likelihood variance added at test points.
+
+        Homoscedastic (scalar) model: the scalar (an explicit ``noise_at_test``
+        overrides it). Heteroscedastic (vector) model: the training rows' noises
+        don't determine test-point noise, so the caller MUST say what they mean —
+        GPy requires the same via ``Y_metadata['output_index']``
+        (``likelihoods/gaussian.py:347`` HeteroscedasticGaussian
+        ``gaussian_variance`` indexes the per-point variance array):
+
+        - ``'mean'``: mean of the per-TRAIN-point variances (real rows only);
+        - scalar: that variance at every test point;
+        - array (M,): per-test-point variances (the Y_metadata analog — e.g.
+          ``likelihood_variance[:n]`` when predicting at the training inputs).
+        """
         v = self.likelihood_variance
         if v.ndim == 0:
-            return v
-        if self.mask is not None:
-            return jnp.sum(v * self.mask) / jnp.maximum(jnp.sum(self.mask), 1.0)
-        return jnp.mean(v)
+            if noise_at_test is None or (isinstance(noise_at_test, str)):
+                return v
+            return jnp.asarray(noise_at_test, dtype=v.dtype)
+        if noise_at_test is None:
+            raise ValueError(
+                "heteroscedastic model: test-point likelihood variance is "
+                "ambiguous — pass noise_at_test='mean', a scalar, or a per-test-"
+                "point (M,) array (GPy's Y_metadata output_index analog), or use "
+                "predict_noiseless()")
+        if isinstance(noise_at_test, str):
+            if noise_at_test != "mean":
+                raise ValueError(f"unknown noise_at_test mode {noise_at_test!r}")
+            if self.mask is not None:
+                return jnp.sum(v * self.mask) / jnp.maximum(jnp.sum(self.mask), 1.0)
+            return jnp.mean(v)
+        return jnp.asarray(noise_at_test, dtype=v.dtype)
 
     def inference(self, precompute_inverse: bool = False) -> Posterior:
         """Exact Gaussian inference (exact_gaussian_inference.py:37-75).
@@ -301,15 +324,18 @@ class GPRegression:
         return mu, var
 
     def predict(self, Xnew, full_cov=False, include_likelihood=True,
-                posterior: Posterior | None = None):
+                posterior: Posterior | None = None, noise_at_test=None):
         """Predict in original Y units; adds Gaussian noise if include_likelihood
-        (GPy gp.py:297 + likelihoods/gaussian.py:102)."""
+        (GPy gp.py:297 + likelihoods/gaussian.py:102). ``noise_at_test`` selects
+        the test-point likelihood variance for heteroscedastic models — see
+        :meth:`_noise_at_test` (required there; ignored-if-None for scalar noise)."""
         mu, var = self._raw_predict(Xnew, full_cov=full_cov, posterior=posterior)
         if include_likelihood:
-            noise = self._noise_at_test()
+            noise = self._noise_at_test(noise_at_test)
             if full_cov:
-                var = var + noise * jnp.eye(var.shape[0], dtype=var.dtype)
+                var = var + jnp.diag(jnp.broadcast_to(noise, (var.shape[0],)).astype(var.dtype))
             else:
+                noise = noise[:, None] if jnp.ndim(noise) == 1 else noise
                 var = var + noise
         if self.normalizer is not None:
             mu = self.normalizer.inverse_mean(mu)
@@ -357,11 +383,13 @@ class GPRegression:
             samples = self.normalizer.inverse_mean(samples)
         return samples
 
-    def posterior_samples(self, Xnew, size, key):
+    def posterior_samples(self, Xnew, size, key, noise_at_test=None):
         """Samples of noisy observations (GPy gp.py posterior_samples:611)."""
         key_f, key_n = jax.random.split(key)
         f = self.posterior_samples_f(Xnew, size, key_f)
-        noise_std = jnp.sqrt(self._noise_at_test())
+        noise = self._noise_at_test(noise_at_test)
+        noise = noise[:, None] if jnp.ndim(noise) == 1 else noise
+        noise_std = jnp.sqrt(noise)
         if self.normalizer is not None:
             noise_std = noise_std * self.normalizer.std.reshape(-1)[0]
         return f + noise_std * jax.random.normal(key_n, f.shape, dtype=f.dtype)

@@ -571,3 +571,90 @@ class MixedNoise(Likelihood):
         """(mixed_noise.py:45-52): adds the per-index noise variance."""
         v = self.gaussian_variance().reshape(mu.shape)
         return mu, var + v
+
+
+@pytree_dataclass
+class MultioutputLikelihood(Likelihood):
+    """Per-output list of ARBITRARY likelihoods selected by an output index —
+    GPy ``MultioutputLikelihood`` (``likelihoods/multioutput_likelihood.py:20``).
+    Generalizes :class:`MixedNoise` (Gaussian-only) to any mix of observation
+    models: row n uses ``likelihoods[output_index[n]]``.
+
+    The reference dispatches per-row through ``Y_metadata['output_index']`` with
+    boolean-mask numpy loops (multioutput_likelihood.py:79-130). TPU-native
+    design: every sub-likelihood is evaluated on the FULL (N, ...) arrays (they
+    are cheap elementwise ops) and rows are combined with a branchless
+    ``jnp.where`` select — no data-dependent control flow, jit/vmap-safe.
+    Derivatives select the sub-likelihoods' analytic derivatives (never autodiff
+    through the select, so an invalid row of an unselected branch cannot
+    poison gradients with NaNs).
+    """
+
+    likelihoods: tuple = None  # tuple of Likelihood pytrees (heterogeneous)
+    output_index: jnp.ndarray = None  # (N,) int
+
+    @classmethod
+    def create(cls, likelihoods, output_index):
+        return cls(
+            likelihoods=tuple(likelihoods),
+            output_index=jnp.asarray(output_index, dtype=int).reshape(-1),
+        )
+
+    def _idx_like(self, x):
+        return self.output_index.reshape((-1,) + (1,) * (jnp.ndim(x) - 1))
+
+    def _select(self, outs, like):
+        idx = self._idx_like(like)
+        res = outs[0]
+        for j in range(1, len(outs)):
+            res = jnp.where(idx == j, outs[j], res)
+        return res
+
+    def logpdf(self, f, y):
+        return self._select([l.logpdf(f, y) for l in self.likelihoods], f)
+
+    def dlogpdf_df(self, f, y):
+        return self._select([l.dlogpdf_df(f, y) for l in self.likelihoods], f)
+
+    def d2logpdf_df2(self, f, y):
+        return self._select([l.d2logpdf_df2(f, y) for l in self.likelihoods], f)
+
+    def conditional_mean(self, f):
+        return self._select([l.conditional_mean(f) for l in self.likelihoods], f)
+
+    def conditional_variance(self, f):
+        return self._select([l.conditional_variance(f) for l in self.likelihoods], f)
+
+    def gaussian_variance(self):
+        """Per-row noise when ALL sub-likelihoods are Gaussian — the exact-
+        inference path (multioutput_likelihood.py:62-65 asserts the same)."""
+        if not all(isinstance(l, GaussianLik) for l in self.likelihoods):
+            raise TypeError(
+                "gaussian_variance requires all sub-likelihoods Gaussian "
+                "(use Laplace/EP inference for the general mix)")
+        vs = jnp.stack([jnp.broadcast_to(l.variance, ()) for l in self.likelihoods])
+        return vs[self.output_index]
+
+    def predictive_values(self, mu, var):
+        """Row-wise predictive through each sub-likelihood's observation model
+        (multioutput_likelihood.py:79-88). mu/var are indexed like training rows."""
+        outs = []
+        for l in self.likelihoods:
+            if hasattr(l, "predictive_values"):
+                outs.append(l.predictive_values(mu, var))
+            elif isinstance(l, GaussianLik):
+                outs.append((mu, var + l.variance))
+            else:
+                outs.append(l.predictive(mu, var))
+        m = self._select([o[0] for o in outs], mu)
+        v = self._select([o[1] for o in outs], var)
+        return m, v
+
+    def moments_match_ep(self, y, tau_cav, v_cav, gh_points=32):
+        """Site-wise EP moments through the matching sub-likelihood
+        (multioutput_likelihood.py:59-60)."""
+        outs = [l.moments_match_ep(y, tau_cav, v_cav) for l in self.likelihoods]
+        logZ = self._select([o[0] for o in outs], y)
+        mu_hat = self._select([o[1] for o in outs], y)
+        s2_hat = self._select([o[2] for o in outs], y)
+        return logZ, mu_hat, s2_hat

@@ -61,6 +61,37 @@ class TanhWarp:
 
 
 @pytree_dataclass
+class LogWarp:
+    """Fixed log warp for positive-only targets — GPy ``LogFunction``
+    (``GPy/GPy/util/warping_functions.py:172-200``): f(y) = log y, f'(y) = 1/y,
+    f^-1(z) = exp(z). No trainable parameters (num_parameters = 0)."""
+
+    def f(self, y):
+        return jnp.log(y)
+
+    def fgrad_y(self, y):
+        return 1.0 / y
+
+    def f_inv(self, z, iters=None):
+        return jnp.exp(z)
+
+
+@pytree_dataclass
+class IdentityWarp:
+    """Identity warp (testing/sanity) — GPy ``IdentityFunction``
+    (``GPy/GPy/util/warping_functions.py:203-230``)."""
+
+    def f(self, y):
+        return y
+
+    def fgrad_y(self, y):
+        return jnp.ones_like(y)
+
+    def f_inv(self, z, iters=None):
+        return z
+
+
+@pytree_dataclass
 class WarpedGP:
     """GP on z = warp(Y) with the warp Jacobian in the LML (warped_gp.py:62-78)."""
 
@@ -68,11 +99,15 @@ class WarpedGP:
     warp: TanhWarp = None
 
     @classmethod
-    def create(cls, X, Y, kernel=None, noise_var=1.0, warping_terms=3, max_points=None):
+    def create(cls, X, Y, kernel=None, noise_var=1.0, warping_terms=3, max_points=None,
+               warping_function=None):
+        """`warping_function`: any warp pytree with f/fgrad_y/f_inv (TanhWarp
+        default; LogWarp / IdentityWarp for the GPy warping_functions tail)."""
         Y = jnp.asarray(Y, dtype=float)
         if Y.ndim == 1:
             Y = Y[:, None]
-        warp = TanhWarp.create(warping_terms)
+        warp = warping_function if warping_function is not None \
+            else TanhWarp.create(warping_terms)
         gp = GPRegression.create(X, Y, kernel=kernel, noise_var=noise_var,
                                  max_points=max_points)
         return cls(gp=gp, warp=warp)

@@ -128,3 +128,67 @@ def test_laplace_weibull_survival(rng):
     ey, _ = m.predict(X)
     corr = np.corrcoef(np.asarray(ey), lam_true ** (1 / r))[0, 1]
     assert corr > 0.5
+
+
+def test_multioutput_likelihood_row_routing():
+    """MultioutputLikelihood (multioutput_likelihood.py:20): every method must
+    equal the selected sub-likelihood's value row-by-row, for an arbitrary
+    (non-Gaussian) mix."""
+    g = lik.GaussianLik.create(variance=0.3)
+    st = lik.StudentT.create(deg_free=4.0, sigma2=0.5)
+    idx = [0, 1, 1, 0, 1]
+    ml = lik.MultioutputLikelihood.create([g, st], idx)
+    f = jnp.asarray([0.1, -0.2, 0.5, 1.0, -1.0])
+    y = jnp.asarray([0.0, 0.3, 0.4, 1.2, -0.8])
+    subs = [g, st]
+    for name, args in [("logpdf", (f, y)), ("dlogpdf_df", (f, y)),
+                       ("d2logpdf_df2", (f, y)), ("conditional_mean", (f,)),
+                       ("conditional_variance", (f,))]:
+        ours = np.asarray(getattr(ml, name)(*args))
+        for n, j in enumerate(idx):
+            want = np.asarray(getattr(subs[j], name)(*args))[n]
+            np.testing.assert_allclose(ours[n], want, rtol=1e-12,
+                                       err_msg=f"{name} row {n}")
+
+
+def test_multioutput_likelihood_gaussian_matches_mixed_noise():
+    """All-Gaussian MultioutputLikelihood degenerates to MixedNoise
+    (the reference subclasses MixedNoise for exactly this case)."""
+    idx = [0, 1, 0, 1]
+    ml = lik.MultioutputLikelihood.create(
+        [lik.GaussianLik.create(0.1), lik.GaussianLik.create(0.5)], idx)
+    mn = lik.MixedNoise.create(variances=[0.1, 0.5], output_index=idx)
+    f = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+    y = jnp.asarray([0.1, 0.1, 1.1, 1.1])
+    np.testing.assert_allclose(np.asarray(ml.gaussian_variance()),
+                               np.asarray(mn.gaussian_variance()), rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(ml.logpdf(f, y)),
+                               np.asarray(mn.logpdf(f, y)), rtol=1e-14)
+    mu1, v1 = ml.predictive_values(f, jnp.zeros_like(f))
+    mu2, v2 = mn.predictive_values(f, jnp.zeros_like(f))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-14)
+    # non-Gaussian mix refuses the exact-inference path
+    bad = lik.MultioutputLikelihood.create(
+        [lik.GaussianLik.create(0.1), lik.StudentT.create(4.0, 0.5)], idx)
+    with pytest.raises(TypeError):
+        bad.gaussian_variance()
+
+
+def test_multioutput_likelihood_ep_moments():
+    """Site-wise EP moment matching routes through the matching sub-likelihood
+    (multioutput_likelihood.py:59-60)."""
+    g = lik.GaussianLik.create(variance=0.3)
+    b = lik.Bernoulli()
+    idx = [0, 1, 0, 1]
+    ml = lik.MultioutputLikelihood.create([g, b], idx)
+    y = jnp.asarray([0.2, 1.0, -0.1, -1.0])
+    tau = jnp.asarray([1.0, 2.0, 0.5, 1.5])
+    v = jnp.asarray([0.3, -0.2, 0.1, 0.4])
+    lZ, mu, s2 = ml.moments_match_ep(y, tau, v)
+    lZg, mug, s2g = g.moments_match_ep(y, tau, v)
+    lZb, mub, s2b = b.moments_match_ep(y, tau, v)
+    for n, j in enumerate(idx):
+        src = (lZg, mug, s2g) if j == 0 else (lZb, mub, s2b)
+        np.testing.assert_allclose(float(lZ[n]), float(src[0][n]), rtol=1e-10)
+        np.testing.assert_allclose(float(mu[n]), float(src[1][n]), rtol=1e-10)
+        np.testing.assert_allclose(float(s2[n]), float(src[2][n]), rtol=1e-10)

@@ -15,8 +15,9 @@ def test_heteroscedastic_regression(rng):
     m = zoo.GPHeteroscedasticRegression(X, Y, kernel=kern.RBF.create(1),
                                         noise_vars=noise)
     assert np.isfinite(float(m.log_marginal_likelihood()))
-    # predictive noise reflects the per-point variances at train X
-    mu, var = m.predict(jnp.asarray(X))
+    # predictive noise reflects the per-point variances at train X (explicit
+    # noise_at_test — the GPy Y_metadata output_index analog)
+    mu, var = m.predict(jnp.asarray(X), noise_at_test=jnp.asarray(noise))
     assert np.asarray(var)[0, 0] < np.asarray(var)[-1, 0]
 
 

