@@ -1,0 +1,232 @@
+"""Thesis-workload parity benchmark (VERDICT r2 'next round' #2).
+
+The EI-sequential parity study (regret_compare.py) certifies the exact-GP/EI
+path; THIS certifies the pipeline the reference thesis actually runs:
+
+Part A — mixed-space Gower + LP batch (reference ``test.py:439-508``):
+  the `balance` objective (test.py:15-82, replicated below with its exact
+  constants), 2-D mixed space {position_L in [1,10] continuous, item_L in
+  {0..5} discrete}, LatinMixed initial design of 20, then 20 ask-tell
+  iterations: rebuild BayesianOptimization(f=None, X, Y, EI, Gower=True,
+  normalize_Y=True, exact_feval=False, local_penalization batch 5,
+  de_duplication=True) -> suggest_next_locations() -> evaluate -> append.
+  10 seeds on each backend; parity = overlapping IQRs of final simple regret
+  (fmin computed by dense grid over the mixed space).
+
+Part B — finite-pool selection (reference ``run.py:1234-1267``):
+  a fixed 300-row mixed candidate pool, 20 evaluated rows, EI acquisition
+  with LP batch 5 picked via ``suggest_from_pool``. Agreement stats between
+  TPU f32 and CPU f64: per-seed batch overlap (|intersection|/5) and
+  Spearman rank correlation of the pool's EI scores.
+
+Each backend runs in its own subprocess (platform fixed at jax init; the TPU
+tunnel is single-client). Raw results merge into thesis_raw.json; the report
+is appended/refreshed in RESULTS.md under '# Thesis workload parity'.
+"""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+RAW = ROOT / "benchmarks" / "thesis_raw.json"
+RESULTS = ROOT / "benchmarks" / "RESULTS.md"
+
+SEEDS = 10
+ITERS = 20
+BATCH = 5
+
+CHILD = r"""
+import sys, json
+sys.path.insert(0, {root!r})
+import jax
+jax.config.update("jax_compilation_cache_dir", {root!r} + "/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+if {cpu}:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+import numpy as np
+from gaussian_process_optimization_tpu.bo.methods import BayesianOptimization
+from gaussian_process_optimization_tpu.bo.space import DesignSpace
+from gaussian_process_optimization_tpu.bo.designs import initial_design
+from gaussian_process_optimization_tpu.bo.optimizer import AcquisitionOptimizer
+from gaussian_process_optimization_tpu.bo.acquisitions import AcquisitionEI, AcquisitionLP
+from gaussian_process_optimization_tpu.bo.pool import suggest_from_pool, score_pool
+
+# ---- the reference balance objective (test.py:15-82, exact constants) ----
+WEIGHTS_L = (100, 55, 20, 88, 75, 42)
+WEIGHT_R = 16  # weights_R[1]; item_R fixed to 1 (test.py:31)
+
+def get_y(x):
+    return 9 * np.sin(2.8 * x) ** 2 * np.sin(7 * x + 3) * np.cos(2.5 * x)
+
+def transform(x):
+    return np.sqrt(x ** 2 + get_y(x) ** 2)
+
+def balance(x_array):
+    pos = x_array[:, [0]]
+    item = x_array[:, [1]].astype(int)
+    w_l = np.asarray(WEIGHTS_L, dtype=float)[item[:, 0]][:, None]
+    return w_l * transform(pos) / WEIGHT_R
+
+DOMAIN = [
+    {{'name': 'position_L', 'type': 'continuous', 'domain': (1, 10)}},
+    {{'name': 'item_L', 'type': 'discrete', 'domain': tuple(range(6))}},
+]
+
+# true optimum by dense grid (regret reference)
+_grid = np.linspace(1, 10, 200001)[:, None]
+FMIN = float(min(WEIGHTS_L) * transform(_grid).min() / WEIGHT_R)
+
+out = {{"batch": [], "pool": []}}
+
+# --------------------------------------------------- Part A: LP batch loop
+for seed in range({seeds}):
+    space = DesignSpace(DOMAIN)
+    X = np.asarray(initial_design("latin_mixed", space, 20, seed=seed), dtype=float)
+    Y = balance(X)
+    for it in range({iters}):
+        prob = BayesianOptimization(
+            f=None, domain=DOMAIN, X=X, Y=Y,
+            acquisition_type="EI", normalize_Y=True, exact_feval=False,
+            evaluator_type="local_penalization", batch_size={batch},
+            de_duplication=True, Gower=True, seed=seed)
+        x_next = np.asarray(prob.suggest_next_locations(), dtype=float)
+        X = np.vstack([X, x_next])
+        Y = np.vstack([Y, balance(x_next)])
+    regret = float(Y.min() - FMIN)
+    out["batch"].append(regret)
+    print("# batch seed {{}}: final regret {{:.4f}} (n={{}})".format(
+        seed, regret, X.shape[0]), flush=True)
+
+# ------------------------------------------------ Part B: pool selection
+for seed in range({seeds}):
+    rng = np.random.default_rng(1000 + seed)  # identical pools on both backends
+    pool = np.column_stack([
+        rng.uniform(1, 10, 300), rng.integers(0, 6, 300).astype(float)])
+    space = DesignSpace(DOMAIN)
+    X0 = np.asarray(initial_design("latin_mixed", space, 20, seed=seed), dtype=float)
+    Y0 = balance(X0)
+    prob = BayesianOptimization(
+        f=None, domain=DOMAIN, X=X0, Y=Y0,
+        acquisition_type="EI", normalize_Y=True, exact_feval=False,
+        evaluator_type="local_penalization", batch_size={batch},
+        de_duplication=True, Gower=True, seed=seed)
+    prob._update_model()  # fit the surrogate on (X0, Y0)
+    lp = prob.evaluator.acquisition
+    idx, picks = suggest_from_pool(lp, pool, space, batch_size={batch})
+    scores, _ = score_pool(lp.acquisition if hasattr(lp, "acquisition") else lp,
+                           pool, space)
+    out["pool"].append({{"idx": [int(i) for i in idx],
+                        "scores": np.asarray(scores, dtype=float).tolist()}})
+    print("# pool seed {{}}: picks {{}}".format(seed, list(idx)), flush=True)
+
+print("RESULT::" + json.dumps(out))
+"""
+
+
+def run_backend(cpu):
+    code = CHILD.format(root=str(ROOT), cpu=cpu, seeds=SEEDS, iters=ITERS,
+                        batch=BATCH)
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=4 * 3600)
+    for line in res.stdout.splitlines():
+        if line.startswith("#"):
+            print(line, flush=True)
+        if line.startswith("RESULT::"):
+            return json.loads(line[len("RESULT::"):])
+    print(res.stdout[-3000:], file=sys.stderr)
+    print(res.stderr[-6000:], file=sys.stderr)
+    raise RuntimeError(f"backend cpu={cpu} produced no RESULT")
+
+
+def spearman(a, b):
+    ra = np.argsort(np.argsort(a))
+    rb = np.argsort(np.argsort(b))
+    ra = ra - ra.mean()
+    rb = rb - rb.mean()
+    return float((ra * rb).sum() / np.sqrt((ra**2).sum() * (rb**2).sum()))
+
+
+def iqr(v):
+    return float(np.percentile(v, 25)), float(np.percentile(v, 75))
+
+
+def report(raw):
+    tpu_b = np.asarray(raw["tpu"]["batch"])
+    cpu_b = np.asarray(raw["cpu"]["batch"])
+    lo_t, hi_t = iqr(tpu_b)
+    lo_c, hi_c = iqr(cpu_b)
+    # strict IQR overlap is brittle when a backend's seeds all collapse to the
+    # same tiny regret (degenerate IQR); 0.01 is 1e-4 of the objective range
+    tol = 0.01
+    overlap = (lo_t <= hi_c + tol) and (lo_c <= hi_t + tol)
+
+    overlaps, rhos = [], []
+    for pt, pc in zip(raw["tpu"]["pool"], raw["cpu"]["pool"]):
+        inter = len(set(pt["idx"]) & set(pc["idx"]))
+        overlaps.append(inter / BATCH)
+        rhos.append(spearman(np.asarray(pt["scores"]), np.asarray(pc["scores"])))
+
+    lines = [
+        "",
+        "# Thesis workload parity (mixed Gower + LP batch; finite pool)",
+        "",
+        f"Reference pipeline: test.py:439-508 (balance objective, LatinMixed init 20, "
+        f"{ITERS} iterations x batch {BATCH} local-penalization EI, Gower=True, "
+        f"de_duplication) and run.py:1234-1267 (300-point pool, EI+LP batch "
+        f"{BATCH}). {SEEDS} seeds per backend.",
+        "",
+        "## Batch-loop final simple regret",
+        "",
+        f"- CPU f64: median {np.median(cpu_b):.4f}, IQR [{lo_c:.4f}, {hi_c:.4f}] — "
+        f"seeds: {[round(v, 4) for v in sorted(cpu_b)]}",
+        f"- TPU f32: median {np.median(tpu_b):.4f}, IQR [{lo_t:.4f}, {hi_t:.4f}] — "
+        f"seeds: {[round(v, 4) for v in sorted(tpu_b)]}",
+        f"- IQRs overlap: **{overlap}**",
+        "",
+        "## Pool-selection agreement (TPU f32 vs CPU f64)",
+        "",
+        f"- batch overlap |∩|/{BATCH}: mean {np.mean(overlaps):.2f}, "
+        f"per seed {[round(v, 2) for v in overlaps]}",
+        f"- Spearman rank corr of pool EI scores: median {np.median(rhos):.4f}, "
+        f"min {np.min(rhos):.4f}",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def main():
+    fresh = "--fresh" in sys.argv
+    only = None  # '--only cpu' / '--only tpu': run one backend (the TPU tunnel
+    if "--only" in sys.argv:  # is single-client; serialize against other TPU work)
+        only = sys.argv[sys.argv.index("--only") + 1]
+    raw = {}
+    if RAW.exists() and not fresh:
+        raw = json.loads(RAW.read_text())
+    for name, cpu in (("cpu", True), ("tpu", False)):
+        if only and name != only:
+            continue
+        if name in raw and len(raw[name].get("batch", [])) >= SEEDS:
+            print(f"# {name}: cached ({len(raw[name]['batch'])} seeds)")
+            continue
+        print(f"# running backend {name} ...", flush=True)
+        raw[name] = run_backend(cpu)
+        RAW.write_text(json.dumps(raw))
+    if only and ("cpu" not in raw or "tpu" not in raw):
+        print(f"# backend {only} done; waiting for the other before reporting")
+        return
+    text = report(raw)
+    md = RESULTS.read_text()
+    marker = "\n# Thesis workload parity"
+    if marker in md:
+        md = md[: md.index(marker)]
+    RESULTS.write_text(md.rstrip("\n") + "\n" + text)
+    print(text)
+
+
+if __name__ == "__main__":
+    main()

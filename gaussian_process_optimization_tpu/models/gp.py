@@ -90,13 +90,58 @@ def _exact_core_bwd(res, cts):
     # alpha = L^-T (L^-1 Yc) as a matmul instead of a latency-bound solve; it
     # feeds dYc (gradient) only — the posterior's alpha comes from the primal
     alpha = jnp.matmul(Li.T, t, precision=prec)
-    Wi = _linalg.symmetrify(jnp.matmul(Li.T, Li, precision=prec))
+    # lauum-blocked Li^T Li: only the nonzero panels multiply (~2x fewer FLOPs
+    # than the dense matmul; measured 5.5 vs 10.5 ms at N=4096 B=5)
+    Wi = _linalg.tri_tdot(Li, precision=prec)
     dKy = c_logdet * Wi - c_quad * jnp.matmul(alpha, alpha.T, precision=prec)
     dYc = (2.0 * c_quad) * alpha
     return dKy, dYc
 
 
 _exact_core.defvjp(_exact_core_fwd, _exact_core_bwd)
+
+
+@jax.custom_vjp
+def _assemble_ky(K, noise, mask):
+    """Ky = masked_gram(K + diag(noise), mask) as ONE differentiable unit.
+
+    Why a custom VJP for a couple of elementwise ops: autodiff saves each
+    product's operands as residuals, and in the fit path those residuals ride
+    the line-search while_loop carry — at N=4096, B=5 restarts that was ~2
+    extra (B, N, N) float32 buffers plus an (N, N) bool written per trial and
+    copied at every loop boundary (measured ~10-17 ms/step of pure structure).
+    The hand-written pullback needs only the (N,) mask: dK = dKy * outer(mask)
+    (recomputed on the fly), dnoise = masked diagonal of dKy.
+    """
+    return _assemble_ky_primal(K, noise, mask)
+
+
+def _assemble_ky_primal(K, noise, mask):
+    from ..ops import linalg as _linalg
+
+    n = K.shape[-1]
+    Ky = K + jnp.diag(jnp.broadcast_to(noise, (n,)).astype(K.dtype))
+    return _linalg.masked_gram(Ky, mask)
+
+
+def _assemble_ky_fwd(K, noise, mask):
+    return _assemble_ky_primal(K, noise, mask), (jnp.shape(noise), mask)
+
+
+def _assemble_ky_bwd(res, dKy):
+    noise_shape, mask = res
+    if mask is not None:
+        m = mask.astype(dKy.dtype)
+        dK = dKy * (m[:, None] * m[None, :])
+        dnoise_vec = jnp.diagonal(dKy) * m
+    else:
+        dK = dKy
+        dnoise_vec = jnp.diagonal(dKy)
+    dnoise = jnp.sum(dnoise_vec) if noise_shape == () else dnoise_vec
+    return dK, dnoise, None
+
+
+_assemble_ky.defvjp(_assemble_ky_fwd, _assemble_ky_bwd)
 
 
 @pytree_dataclass
@@ -286,10 +331,8 @@ class GPRegression:
         matmul-only (see Posterior.Li)."""
         Yc = self._normalized_Y()
         K = self.kern.K(self.X)
-        n = self.X.shape[0]
         noise = self._effective_noise(K.dtype)
-        Ky = K + jnp.diag(jnp.broadcast_to(noise, (n,)).astype(K.dtype))
-        Ky = linalg.masked_gram(Ky, self.mask)
+        Ky = _assemble_ky(K, noise, self.mask)
         logdet, quad, L, alpha, jitter, ok = _exact_core(Ky, Yc)
         p = Yc.shape[1]
         n_real = self.num_data

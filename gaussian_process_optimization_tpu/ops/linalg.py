@@ -21,12 +21,11 @@ def tdot(X: jnp.ndarray) -> jnp.ndarray:
 
 
 def symmetrify(A: jnp.ndarray, upper: bool = False) -> jnp.ndarray:
-    """Force exact symmetry by copying one triangle (GPy util/linalg.py:356)."""
+    """Force exact symmetry by copying one triangle (GPy util/linalg.py:356).
+    Batch-safe: triangles and the transpose act on the last two dims."""
     if upper:
-        t = jnp.triu(A)
-        return t + jnp.triu(A, 1).T
-    t = jnp.tril(A)
-    return t + jnp.tril(A, -1).T
+        return jnp.triu(A) + jnp.swapaxes(jnp.triu(A, 1), -1, -2)
+    return jnp.tril(A) + jnp.swapaxes(jnp.tril(A, -1), -1, -2)
 
 
 def _phi(X):
@@ -34,6 +33,69 @@ def _phi(X):
     (Murray 2016; the reference implements this loop in Cython,
     GPy/GPy/util/choleskies_cython.pyx:48-80 `backprop_gradient`)."""
     return jnp.tril(X) - 0.5 * jnp.diag(jnp.diagonal(X))
+
+
+def blocked_cholesky(A: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
+    """Batched blocked left-looking Cholesky (LAPACK potrf blocking, done as a
+    statically-unrolled panel loop of BATCHED XLA ops).
+
+    Why not ``jnp.linalg.cholesky`` directly: XLA's batched Cholesky on TPU
+    executes the lanes essentially serially (measured ~linear in B — 12.1 ms at
+    B=5, N=4096 f32), because each lane's sequential panel recursion leaves the
+    MXU idle. Restructured as panels-of-all-lanes, every step is one batched op:
+    the (B, nb, nb) diagonal-block Cholesky amortizes its latency over lanes and
+    the (B, m, k)x(B, k, nb) panel updates ride the MXU — measured 8.7-9.0 ms on
+    the same shape (matches XLA to ~4e-5; the unrolled loop is exact FLOPs,
+    no masking waste). NaNs from a non-PD diagonal block propagate through the
+    solves/updates, so the jitter ladder's finiteness check still works.
+
+    Supports any leading batch dims (or none). Falls back to XLA below 2*nb.
+    """
+    n = A.shape[-1]
+    if n < 2 * nb:
+        return jnp.linalg.cholesky(A)
+    L = jnp.zeros_like(A)
+    for k0 in range(0, n, nb):
+        k1 = min(k0 + nb, n)
+        Akk = A[..., k0:k1, k0:k1]
+        if k0 > 0:
+            Lrow = L[..., k0:k1, :k0]
+            Akk = Akk - jnp.matmul(Lrow, jnp.swapaxes(Lrow, -1, -2))
+        Lkk = jnp.linalg.cholesky(Akk)
+        L = L.at[..., k0:k1, k0:k1].set(Lkk)
+        if k1 < n:
+            Ap = A[..., k1:, k0:k1]
+            if k0 > 0:
+                Ap = Ap - jnp.matmul(L[..., k1:, :k0],
+                                     jnp.swapaxes(L[..., k0:k1, :k0], -1, -2))
+            Lp = lax.linalg.triangular_solve(
+                Lkk, Ap, left_side=False, lower=True, transpose_a=True)
+            L = L.at[..., k1:, k0:k1].set(Lp)
+    return L
+
+
+def tri_tdot(Li: jnp.ndarray, nb: int = 512, precision=None) -> jnp.ndarray:
+    """Li^T @ Li for LOWER-triangular Li (the LAPACK `lauum` shape), blocked so
+    only the nonzero panel participates in each product — ~2x fewer FLOPs than
+    the dense matmul and measured ~2x faster at N=4096 B=5 (5.5 vs 10.5 ms).
+    Output is exactly symmetric by construction (the lower block area is the
+    written transpose of the upper). Any leading batch dims."""
+    n = Li.shape[-1]
+    if n < 2 * nb:
+        W = jnp.matmul(jnp.swapaxes(Li, -1, -2), Li, precision=precision)
+        return symmetrify(W)
+    W = jnp.zeros_like(Li)
+    for k0 in range(0, n, nb):
+        k1 = min(k0 + nb, n)
+        # W[k0:k1, k0:] = sum_{k>=k0} Li[k, k0:k1]^T Li[k, k0:]  (rows above k0
+        # contribute zeros in these columns, so the shrunk product is exact)
+        blk = jnp.matmul(jnp.swapaxes(Li[..., k0:, k0:k1], -1, -2),
+                         Li[..., k0:, k0:], precision=precision)
+        W = W.at[..., k0:k1, k0:].set(blk)
+        if k1 < n:  # mirror into the strictly-lower block area
+            W = W.at[..., k1:, k0:k1].set(
+                jnp.swapaxes(blk[..., :, k1 - k0:], -1, -2))
+    return W
 
 
 def _jitchol_loop(A, maxtries):
@@ -53,7 +115,7 @@ def _jitchol_loop(A, maxtries):
             jnp.zeros_like(diag_mean),
             diag_mean * config.jitchol_base * 10.0 ** jnp.maximum(k - 1, 0),
         ).astype(A.dtype)
-        L = jnp.linalg.cholesky(A + jitter[..., None, None] * eye)
+        L = blocked_cholesky(A + jitter[..., None, None] * eye)
         ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))  # per-lane verdict
         return L, jitter, ok
 
@@ -213,8 +275,7 @@ def tri_inv_lower(L: jnp.ndarray, block: int = 256, precision=None) -> jnp.ndarr
 
 def dpotri(L: jnp.ndarray) -> jnp.ndarray:
     """Inverse of A = L L^T from its Cholesky factor (GPy dpotri, util/linalg.py:127)."""
-    Li = tri_inv_lower(L)
-    return symmetrify(jnp.matmul(jnp.swapaxes(Li, -1, -2), Li))
+    return tri_tdot(tri_inv_lower(L))
 
 
 def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
@@ -226,8 +287,7 @@ def pdinv(A: jnp.ndarray, maxtries: int | None = None):
     """(A^-1, L, L^-1, logdet) for symmetric PD A (GPy pdinv, util/linalg.py:193)."""
     L, _, _ = jitchol(A, maxtries)
     Li = tri_inv_lower(L)
-    Ai = symmetrify(jnp.matmul(jnp.swapaxes(Li, -1, -2), Li))
-    return Ai, L, Li, logdet_from_chol(L)
+    return tri_tdot(Li), L, Li, logdet_from_chol(L)
 
 
 def backsub_both_sides(L: jnp.ndarray, X: jnp.ndarray, transpose: str = "left"):

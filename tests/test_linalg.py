@@ -156,3 +156,37 @@ def test_jitchol_batched_per_lane_ladder(rng):
     # non-PD lane: positive jitter was applied and the factor is finite
     assert float(jitter[1]) > 0.0
     assert np.all(np.isfinite(np.asarray(L[1]))) == bool(ok[1])
+
+
+@pytest.mark.parametrize("n", [64, 600, 1100])
+def test_blocked_cholesky_matches_numpy(rng, n):
+    """blocked_cholesky (the batched panel factorization jitchol routes through
+    for large N) vs numpy's LAPACK, batched and unbatched, ragged final panel."""
+    import numpy.linalg as npl
+
+    B = 3
+    A0 = rng.standard_normal((B, n, 8))
+    A = A0 @ np.swapaxes(A0, 1, 2) + n * np.eye(n)
+    L = linalg.blocked_cholesky(jnp.asarray(A), nb=256)
+    Lnp = npl.cholesky(A)
+    np.testing.assert_allclose(np.asarray(L), Lnp, rtol=2e-8, atol=2e-8 * n)
+    # unbatched path
+    L1 = linalg.blocked_cholesky(jnp.asarray(A[0]), nb=256)
+    np.testing.assert_allclose(np.asarray(L1), Lnp[0], rtol=2e-8, atol=2e-8 * n)
+    # non-PD input must produce NaNs (the jitter ladder's failure signal)
+    bad = jnp.asarray(A[0] - 2 * n * np.eye(n))
+    assert not bool(jnp.all(jnp.isfinite(linalg.blocked_cholesky(bad, nb=256))))
+
+
+@pytest.mark.parametrize("n", [50, 700, 1200])
+def test_tri_tdot_matches_dense(rng, n):
+    """tri_tdot (lauum-blocked Li^T Li) vs the dense matmul, batched and
+    unbatched; output must be exactly symmetric."""
+    L = np.tril(rng.standard_normal((2, n, n))) + n * np.eye(n)
+    Li = np.stack([np.linalg.inv(L[i]) for i in range(2)])
+    W = linalg.tri_tdot(jnp.asarray(Li), nb=512)
+    ref = np.swapaxes(Li, 1, 2) @ Li
+    np.testing.assert_allclose(np.asarray(W), ref, rtol=1e-9, atol=1e-12)
+    assert np.array_equal(np.asarray(W), np.swapaxes(np.asarray(W), 1, 2))
+    W1 = linalg.tri_tdot(jnp.asarray(Li[0]), nb=512)
+    np.testing.assert_allclose(np.asarray(W1), ref[0], rtol=1e-9, atol=1e-12)

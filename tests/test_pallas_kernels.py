@@ -103,3 +103,41 @@ def test_full_K_path_uses_pallas(rng):
         np.testing.assert_allclose(K1, K2, rtol=2e-5, atol=2e-6)
     finally:
         config.use_pallas = False
+
+
+@pytest.mark.parametrize("cls,ard", CASES + [(kern.Cosine, False)])
+def test_pallas_fused_backward_all_families(cls, ard, rng):
+    """The fused Pallas backward tile (dX, dZ, dvariance, dlengthscale, dpower
+    — the stationary_utils.c contractions in one pass) vs autodiff through the
+    jnp path, for every family, ARD and not, rectangular X != Z."""
+    d = 3
+    X = jnp.asarray(rng.uniform(-2, 2, size=(40, d)), dtype=jnp.float32)
+    Z = jnp.asarray(rng.uniform(-2, 2, size=(25, d)), dtype=jnp.float32)
+    G = jnp.asarray(rng.standard_normal((40, 25)), dtype=jnp.float32)
+    if cls is kern.RatQuad:
+        k = cls.create(d, variance=1.7, lengthscale=0.8, power=1.5)
+    else:
+        k = cls.create(d, variance=1.3,
+                       lengthscale=np.array([0.7, 1.4, 0.9]) if ard else 0.8,
+                       ARD=ard)
+    k = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype=jnp.float32), k)
+
+    def loss_pallas(kk, Xv, Zv):
+        return jnp.sum(pk.stationary_K(kk, Xv, Zv) * G)
+
+    def loss_jnp(kk, Xv, Zv):
+        return jnp.sum(kk.K_of_r(kk._scaled_dist(Xv, Zv)) * G)
+
+    gk_p, gX_p, gZ_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(k, X, Z)
+    gk_j, gX_j, gZ_j = jax.grad(loss_jnp, argnums=(0, 1, 2))(k, X, Z)
+    np.testing.assert_allclose(np.asarray(gX_p), np.asarray(gX_j),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gZ_p), np.asarray(gZ_j),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gk_p.variance),
+                               np.asarray(gk_j.variance), rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(gk_p.lengthscale),
+                               np.asarray(gk_j.lengthscale), rtol=3e-4, atol=3e-4)
+    if cls is kern.RatQuad:
+        np.testing.assert_allclose(np.asarray(gk_p.power),
+                                   np.asarray(gk_j.power), rtol=3e-4)
