@@ -57,8 +57,10 @@ class NormalLatentPosterior:
     variance: jnp.ndarray = None  # (N*, Q)
 
 
-def _init_idx(Y_train, Y_new, init, key):
-    """Nearest-training-row index per new row (inferenceX.py:87-106)."""
+def _init_idx(Y_train, Y_new, init, key, valid=None):
+    """Nearest-training-row index per new row (inferenceX.py:87-106). ``valid``
+    (N*, P) bool restricts distances to each new row's OBSERVED dims — the
+    missing-data path (inferenceX.py:90-96), generalized to per-row masks."""
     Y_train = np.asarray(Y_train)
     Y_new = np.asarray(Y_new)
     if init == "rand":
@@ -66,6 +68,17 @@ def _init_idx(Y_train, Y_new, init, key):
             key = jax.random.PRNGKey(0)
         return np.asarray(
             jax.random.randint(key, (Y_new.shape[0],), 0, Y_train.shape[0]))
+    if valid is not None:
+        Yn = np.where(valid, Y_new, 0.0)
+        if init == "NCC":
+            dist = Yn @ Y_train.T
+        elif init == "L2":
+            dist = (-2.0 * Yn @ Y_train.T
+                    + np.square(Yn).sum(1)[:, None]
+                    + (valid.astype(float) @ np.square(Y_train).T))
+        else:
+            raise ValueError(f"unknown init {init!r} (use 'L2', 'NCC' or 'rand')")
+        return dist.argmin(axis=1)
     if init == "NCC":
         dist = Y_new @ Y_train.T  # argmin of the dot, as written in the reference
     elif init == "L2":
@@ -111,7 +124,17 @@ def _infer_newX_point(model, Y_new, optimize, init, maxiter, key):
         n_real = int(np.sum(np.asarray(model.mask)))
         X_train = X_train[:n_real]
         Y_train = Y_train[:n_real]
-    idx = _init_idx(Y_train, Y_new, init, key)
+
+    # Missing data: NaNs in Y_new mark unobserved dims. The reference restricts
+    # this to ONE row at a time (inferenceX.py:47 asserts Y.shape[0]==1); the
+    # branchless per-row mask handles arbitrary rows under one vmap.
+    valid_np = ~np.isnan(np.asarray(Y_new))
+    has_missing = not valid_np.all()
+    valid = jnp.asarray(valid_np)
+    Y_filled = jnp.where(valid, Y_new, 0.0)
+
+    idx = _init_idx(Y_train, np.asarray(Y_filled), init, key,
+                    valid=valid_np if has_missing else None)
     X0 = jnp.asarray(np.asarray(X_train)[idx])
 
     post = model.inference()
@@ -121,23 +144,26 @@ def _infer_newX_point(model, Y_new, optimize, init, maxiter, key):
         sigma2 = (jnp.sum(sigma2 * m_) / jnp.sum(m_)) if m_ is not None \
             else jnp.mean(sigma2)
     beta = 1.0 / jnp.maximum(sigma2, 1e-6)
-    P = Y_new.shape[1]
 
-    def obj_row(x, y):
+    def obj_row(x, y, v):
         mu, var = model._raw_predict(x[None, :], posterior=post)
-        # -E_post[log N(y | f(x), sigma2)] up to constants:
-        return 0.5 * beta * (jnp.sum(jnp.square(y - mu[0])) + P * var[0, 0])
+        # -E_post[log N(y | f(x), sigma2)] over the OBSERVED dims only
+        # (missing dims contribute nothing — inferenceX.py:125-133):
+        p_eff = jnp.sum(v)
+        return 0.5 * beta * (
+            jnp.sum(v * jnp.square(y - mu[0])) + p_eff * var[0, 0])
 
+    V = valid.astype(Y_filled.dtype)
     if not optimize:
-        f0 = jax.jit(jax.vmap(obj_row))(X0, Y_new)
+        f0 = jax.jit(jax.vmap(obj_row))(X0, Y_filled, V)
         return X0, {"objective": f0}
 
-    def solve_row(x0, y):
-        res = lbfgs.minimize(lambda x: obj_row(x, y), x0, maxiter=maxiter,
+    def solve_row(x0, y, v):
+        res = lbfgs.minimize(lambda x: obj_row(x, y, v), x0, maxiter=maxiter,
                              carry_vjp=False)
         return res.x, res.f
 
-    xs, fs = jax.jit(jax.vmap(solve_row))(X0, Y_new)
+    xs, fs = jax.jit(jax.vmap(solve_row))(X0, Y_filled, V)
     return xs, {"objective": fs}
 
 

@@ -110,3 +110,25 @@ def test_infer_newx_init_modes():
         infer_newX(m, Y[:2], init="bogus")
     with pytest.raises(TypeError):
         infer_newX(object(), Y[:2])
+
+
+def test_infer_newx_missing_data():
+    """Missing-data path (inferenceX.py:46-52,90-96,125-133): NaN dims are
+    ignored in both the nearest-neighbour init and the objective. The reference
+    supports one row at a time; the branchless mask handles a batch."""
+    t, Y = _gen(n=50)
+    m = make_gplvm(Y, input_dim=1)
+    fitted, _ = fit_gplvm(m, maxiter=400)
+
+    Y_new = np.asarray(fitted.Y[:6]).copy()
+    Y_new[0, 2] = np.nan          # one missing dim
+    Y_new[3, :3] = np.nan         # most dims missing
+    x_full, _ = infer_newX(fitted, fitted.Y[:6], optimize=True, maxiter=200)
+    x_miss, info = infer_newX(fitted, jnp.asarray(Y_new), optimize=True,
+                              maxiter=200)
+    assert np.all(np.isfinite(np.asarray(info["objective"])))
+    # rows with a single missing dim still land near the full-data solution
+    d = np.abs(np.asarray(x_miss) - np.asarray(x_full))[:, 0]
+    scale = float(np.std(np.asarray(fitted.X)))
+    assert d[0] < 0.15 * scale
+    assert d[1] < 1e-6 and d[2] < 1e-6  # untouched rows identical
