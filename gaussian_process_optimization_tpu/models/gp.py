@@ -306,8 +306,10 @@ class GPRegression:
           ``likelihood_variance[:n]`` when predicting at the training inputs).
         """
         v = self.likelihood_variance
+        if isinstance(noise_at_test, str) and noise_at_test != "mean":
+            raise ValueError(f"unknown noise_at_test mode {noise_at_test!r}")
         if v.ndim == 0:
-            if noise_at_test is None or (isinstance(noise_at_test, str)):
+            if noise_at_test is None or isinstance(noise_at_test, str):
                 return v
             return jnp.asarray(noise_at_test, dtype=v.dtype)
         if noise_at_test is None:

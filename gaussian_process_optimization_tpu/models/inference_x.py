@@ -68,23 +68,15 @@ def _init_idx(Y_train, Y_new, init, key, valid=None):
             key = jax.random.PRNGKey(0)
         return np.asarray(
             jax.random.randint(key, (Y_new.shape[0],), 0, Y_train.shape[0]))
-    if valid is not None:
-        Yn = np.where(valid, Y_new, 0.0)
-        if init == "NCC":
-            dist = Yn @ Y_train.T
-        elif init == "L2":
-            dist = (-2.0 * Yn @ Y_train.T
-                    + np.square(Yn).sum(1)[:, None]
-                    + (valid.astype(float) @ np.square(Y_train).T))
-        else:
-            raise ValueError(f"unknown init {init!r} (use 'L2', 'NCC' or 'rand')")
-        return dist.argmin(axis=1)
+    if valid is None:
+        valid = np.ones(Y_new.shape, dtype=bool)
+    Yn = np.where(valid, Y_new, 0.0)
     if init == "NCC":
-        dist = Y_new @ Y_train.T  # argmin of the dot, as written in the reference
+        dist = Yn @ Y_train.T  # argmin of the dot, as written in the reference
     elif init == "L2":
-        dist = (-2.0 * Y_new @ Y_train.T
-                + np.square(Y_new).sum(1)[:, None]
-                + np.square(Y_train).sum(1)[None, :])
+        dist = (-2.0 * Yn @ Y_train.T
+                + np.square(Yn).sum(1)[:, None]
+                + (valid.astype(float) @ np.square(Y_train).T))
     else:
         raise ValueError(f"unknown init {init!r} (use 'L2', 'NCC' or 'rand')")
     return dist.argmin(axis=1)
@@ -137,7 +129,9 @@ def _infer_newX_point(model, Y_new, optimize, init, maxiter, key):
                     valid=valid_np if has_missing else None)
     X0 = jnp.asarray(np.asarray(X_train)[idx])
 
-    post = model.inference()
+    # Li precomputed once -> every vmapped L-BFGS objective eval predicts via
+    # MXU matmuls instead of a latency-bound (N,N) triangular solve per trial
+    post = model.inference(precompute_inverse=True)
     sigma2 = model.likelihood_variance
     if sigma2.ndim > 0:  # heteroscedastic train noise: scalar test analog
         m_ = model.mask

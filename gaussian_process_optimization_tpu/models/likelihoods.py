@@ -652,8 +652,15 @@ class MultioutputLikelihood(Likelihood):
 
     def moments_match_ep(self, y, tau_cav, v_cav, gh_points=32):
         """Site-wise EP moments through the matching sub-likelihood
-        (multioutput_likelihood.py:59-60)."""
-        outs = [l.moments_match_ep(y, tau_cav, v_cav) for l in self.likelihoods]
+        (multioutput_likelihood.py:59-60). ``gh_points`` is forwarded to
+        quadrature-based sub-likelihoods; closed-form ones ignore it."""
+        outs = []
+        for l in self.likelihoods:
+            try:
+                outs.append(l.moments_match_ep(y, tau_cav, v_cav,
+                                               gh_points=gh_points))
+            except TypeError:  # closed-form moments without a gh_points kwarg
+                outs.append(l.moments_match_ep(y, tau_cav, v_cav))
         logZ = self._select([o[0] for o in outs], y)
         mu_hat = self._select([o[1] for o in outs], y)
         s2_hat = self._select([o[2] for o in outs], y)

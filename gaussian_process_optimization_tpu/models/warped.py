@@ -112,8 +112,17 @@ class WarpedGP:
                                  max_points=max_points)
         return cls(gp=gp, warp=warp)
 
+    def _safe_y(self):
+        """Targets with padded rows replaced by a warp-safe filler: padded Y is 0,
+        and warps with a restricted domain (LogWarp: f(0) = -inf, fgrad 1/0) would
+        otherwise poison the masked LML with 0 * inf = NaN."""
+        y = self.gp.Y[..., 0]
+        if self.gp.mask is not None:
+            y = jnp.where(self.gp.mask > 0, y, jnp.ones_like(y))
+        return y
+
     def _warped_gp(self):
-        Z = self.warp.f(self.gp.Y[..., 0])[..., None]
+        Z = self.warp.f(self._safe_y())[..., None]
         if self.gp.mask is not None:
             Z = Z * self.gp.mask[:, None]
         return self.gp, Z  # callers dataclasses.replace(gp, Y=Z); gp is frozen
@@ -124,9 +133,9 @@ class WarpedGP:
 
         gp_z = dataclasses.replace(gp, Y=Z)
         lml = gp_z.log_marginal_likelihood()
-        jac = jnp.log(jnp.maximum(self.warp.fgrad_y(self.gp.Y[..., 0]), 1e-300))
+        jac = jnp.log(jnp.maximum(self.warp.fgrad_y(self._safe_y()), 1e-300))
         if self.gp.mask is not None:
-            jac = jac * self.gp.mask
+            jac = jnp.where(self.gp.mask > 0, jac, jnp.zeros_like(jac))
         return lml + jnp.sum(jac)
 
     def _posterior(self):

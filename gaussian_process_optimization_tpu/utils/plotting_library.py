@@ -265,7 +265,12 @@ def _grid_1d(model, resolution=200, bounds=None):
 def _predict_np(model, xs):
     import jax.numpy as jnp
 
-    mu, var = model.predict(jnp.asarray(xs))
+    v = getattr(model, "likelihood_variance", None)
+    if v is not None and getattr(v, "ndim", 0) > 0:
+        # heteroscedastic: mean per-point variance (pre-round-3 implicit default)
+        mu, var = model.predict(jnp.asarray(xs), noise_at_test="mean")
+    else:
+        mu, var = model.predict(jnp.asarray(xs))
     return np.asarray(mu)[:, 0], np.sqrt(np.asarray(var))[:, 0]
 
 

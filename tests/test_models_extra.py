@@ -305,3 +305,24 @@ def test_config_driver(tmp_path):
     cfg_file.write_text(json.dumps(cfg))
     assert main([str(cfg_file)]) == 0
     assert (tmp_path / "ev.txt").exists()
+
+
+def test_warp_tail_log_with_padding(data1d):
+    """LogWarp + max_points padding (round-3 review fix): padded Y rows are 0
+    and log(0) = -inf used to poison the masked LML with 0 * inf = NaN. The
+    padded model must equal the unpadded one exactly."""
+    from gaussian_process_optimization_tpu.models.warped import LogWarp, WarpedGP
+
+    X, Y = data1d
+    Ypos = np.abs(Y) + 1.0
+    m = WarpedGP.create(X, Ypos, kernel=kern.RBF.create(1), noise_var=0.1,
+                        warping_function=LogWarp())
+    m_pad = WarpedGP.create(X, Ypos, kernel=kern.RBF.create(1), noise_var=0.1,
+                            warping_function=LogWarp(),
+                            max_points=X.shape[0] + 7)
+    lml = float(m.log_marginal_likelihood())
+    lml_pad = float(m_pad.log_marginal_likelihood())
+    assert np.isfinite(lml_pad)
+    np.testing.assert_allclose(lml_pad, lml, rtol=1e-10)
+    mu, v = m_pad.predict(jnp.asarray(X[:4]), median=True)
+    assert np.all(np.isfinite(np.asarray(mu)))

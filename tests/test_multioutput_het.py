@@ -112,3 +112,24 @@ def test_heteroscedastic_noise_at_test_semantics(rng):
     _, vs = ms.predict(jnp.asarray(X))
     _, vs0 = ms.predict_noiseless(jnp.asarray(X))
     np.testing.assert_allclose(np.asarray(vs - vs0), 0.1, rtol=1e-10)
+
+
+def test_heteroscedastic_plot_and_string_validation(rng, tmp_path):
+    """Round-3 review fixes: plotting helpers pass noise_at_test='mean' for
+    heteroscedastic models (plot worked before the explicitness change and must
+    keep working), and a typo'd string mode raises on BOTH model kinds."""
+    import pytest
+
+    from gaussian_process_optimization_tpu.utils.plotting_library import _predict_np
+
+    n = 10
+    X = np.linspace(0, 3, n)[:, None]
+    noise = np.linspace(0.01, 0.4, n)
+    m = GPRegression.create(X, np.sin(X), kernel=kern.RBF.create(1), noise_var=noise)
+    mu, sd = _predict_np(m, X)  # must not raise
+    assert np.all(np.isfinite(mu)) and np.all(sd > 0)
+    with pytest.raises(ValueError, match="unknown noise_at_test"):
+        m.predict(jnp.asarray(X), noise_at_test="meen")
+    ms = GPRegression.create(X, np.sin(X), kernel=kern.RBF.create(1), noise_var=0.1)
+    with pytest.raises(ValueError, match="unknown noise_at_test"):
+        ms.predict(jnp.asarray(X), noise_at_test="meen")
