@@ -55,3 +55,13 @@ def test_multichip_bo_example(tmp_path, monkeypatch):
 
     bo = multichip_bo.main(max_iter=3, seed=0)
     assert bo.Y.shape[0] == 8 and np.isfinite(bo.fx_opt)
+
+
+def test_latent_inference_example(tmp_path, monkeypatch):
+    import examples.latent_inference as ex
+
+    rmse = ex.infer_newx_demo(n=30, maxiter=150)
+    assert rmse < 0.3
+    m_mh, m_hmc, rate = ex.mcmc_tail_demo(num_samples=800)
+    assert 0.05 < rate < 0.95
+    assert abs(m_mh[0] - 1.0) < 0.5 and abs(m_hmc[0] - 1.0) < 0.5
