@@ -156,6 +156,43 @@ class BayesianGPLVM:
     def log_marginal_likelihood(self):
         return self.elbo()
 
+    def posterior_u(self):
+        """(wv, Wi): the collapsed bound's implied q(u) in woodbury form
+        (GPy var_dtc.py:199-212 — wv = beta Lm^-T B^-1 Lm^-1 psi1^T Y,
+        Wi = Lm^-T (I - B^-1) Lm^-1). Shared by predict and infer_newX."""
+        sigma2 = jnp.maximum(self.likelihood_variance, 1e-6)
+        m = self.Z.shape[0]
+        _, psi1, psi2 = rbf_psi_stats(self.kern, self.Z, self.q_mu, self.q_S)
+        Kmm = self.kern.K(self.Z) + 1e-6 * jnp.eye(m)
+        Lm, _, _ = linalg.jitchol(Kmm)
+        A = linalg.solve_lower(Lm, linalg.solve_lower(Lm, psi2).T).T / sigma2
+        LB, _, _ = linalg.jitchol(jnp.eye(m) + A)
+        wv = linalg.solve_lower_t(
+            Lm, linalg.cho_solve(LB, linalg.solve_lower(Lm, psi1.T @ self.Y))
+        ) / sigma2
+        Wi = linalg.backsub_both_sides(Lm, jnp.eye(m) - linalg.dpotri(LB))
+        return wv, Wi
+
+    def predict(self, Xnew, full_cov=False, include_likelihood=True,
+                posterior=None):
+        """Decode latent points back to data space (GPy BayesianGPLVM inherits
+        SparseGP.predict, sparse_gp.py:14; sparse posterior predictive through
+        the collapsed q(u)). ``posterior``: optional cached ``posterior_u()``."""
+        Xnew = jnp.atleast_2d(Xnew)
+        wv, Wi = self.posterior_u() if posterior is None else posterior
+        Ks = self.kern.K(Xnew, self.Z)  # (M*, M)
+        mu = Ks @ wv
+        if full_cov:
+            var = self.kern.K(Xnew) - Ks @ Wi @ Ks.T
+            if include_likelihood:
+                var = var + self.likelihood_variance * jnp.eye(Xnew.shape[0])
+        else:
+            var = self.kern.Kdiag(Xnew) - jnp.sum(Ks * (Ks @ Wi), axis=1)
+            var = jnp.maximum(var, 1e-12)[:, None]
+            if include_likelihood:
+                var = var + self.likelihood_variance
+        return mu, var
+
 
 def uncertain_input_bound(kern, Z, noise_var, Y, q_mu, q_S):
     """The collapsed variational bound for ONE view given q(X) = N(q_mu, diag(q_S))

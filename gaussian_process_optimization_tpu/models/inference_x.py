@@ -42,10 +42,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import lbfgs, linalg
+from ..ops import lbfgs
 from ..utils.pytree import pytree_dataclass
 from .gp import GPRegression
-from .gplvm import BayesianGPLVM, _rbf_psi_core, rbf_psi_stats
+from .gplvm import BayesianGPLVM, _rbf_psi_core
 
 
 @pytree_dataclass
@@ -168,22 +168,11 @@ def _infer_newX_uncertain(model, Y_new, optimize, init, maxiter, key):
     Y = model.Y
     sigma2 = jnp.maximum(model.likelihood_variance, 1e-6)
     beta = 1.0 / sigma2
-    M = Z.shape[0]
     P = Y.shape[1]
     Q = model.q_mu.shape[1]
 
-    # Recover the collapsed-bound posterior q(u) (var_dtc.py:199-212).
-    psi0_t, psi1_t, psi2_t = rbf_psi_stats(kern, Z, model.q_mu, model.q_S)
-    Kmm = kern.K(Z) + 1e-6 * jnp.eye(M)
-    Lm, _, _ = linalg.jitchol(Kmm)
-    A = linalg.solve_lower(Lm, linalg.solve_lower(Lm, psi2_t).T).T / sigma2
-    B = jnp.eye(M) + A
-    LB, _, _ = linalg.jitchol(B)
-    # wv = beta Lm^-T B^-1 Lm^-1 psi1^T Y  (M, P)
-    wv = beta * linalg.solve_lower_t(
-        Lm, linalg.cho_solve(LB, linalg.solve_lower(Lm, psi1_t.T @ Y)))
-    # Wi = Lm^-T (I - B^-1) Lm^-1  (M, M)
-    Wi = linalg.backsub_both_sides(Lm, jnp.eye(M) - linalg.dpotri(LB))
+    # The collapsed-bound posterior q(u) in woodbury form (var_dtc.py:199-212).
+    wv, Wi = model.posterior_u()
     dL2 = 0.5 * beta * (P * Wi - wv @ wv.T)  # dL_dpsi2 (compute_dL)
 
     idx = _init_idx(Y, Y_new, init, key)

@@ -47,6 +47,18 @@ class AbstractPlottingLibrary:
     def contour(self, ax, X1, X2, Z, levels=30):
         raise NotImplementedError
 
+    def bar(self, ax, x, height, bottom=None, color=None, label=None):
+        raise NotImplementedError
+
+    def errorbar(self, ax, x, y, yerr, color=None, label=None):
+        raise NotImplementedError
+
+    def imshow(self, ax, Z, extent=None, origin="lower"):
+        raise NotImplementedError
+
+    def text(self, ax, x, y, s, color=None):
+        raise NotImplementedError
+
     def legend(self, ax):
         raise NotImplementedError
 
@@ -90,6 +102,22 @@ class MatplotlibBackend(AbstractPlottingLibrary):
         c = ax.contourf(X1, X2, Z, levels)
         ax.figure.colorbar(c, ax=ax)
 
+    def bar(self, ax, x, height, bottom=None, color=None, label=None):
+        ax.bar(x, height, bottom=bottom, color=color, label=label)
+
+    def errorbar(self, ax, x, y, yerr, color=None, label=None):
+        ax.errorbar(np.asarray(x).ravel(), np.asarray(y).ravel(), yerr=yerr,
+                    fmt="none", ecolor=color or "k", label=label)
+
+    def imshow(self, ax, Z, extent=None, origin="lower"):
+        im = ax.imshow(Z, extent=extent, origin=origin, aspect="auto",
+                       interpolation="bilinear", cmap="gray")
+        ax.figure.colorbar(im, ax=ax)
+
+    def text(self, ax, x, y, s, color=None):
+        ax.text(x, y, s, color=color or "tab:red", ha="center", va="center",
+                fontsize=7)
+
     def legend(self, ax):
         ax.legend(loc="best")
 
@@ -126,6 +154,18 @@ class NoneBackend(AbstractPlottingLibrary):
         return None
 
     def contour(self, *a, **k):
+        return None
+
+    def bar(self, *a, **k):
+        return None
+
+    def errorbar(self, *a, **k):
+        return None
+
+    def imshow(self, *a, **k):
+        return None
+
+    def text(self, *a, **k):
         return None
 
     def legend(self, *a, **k):
@@ -393,10 +433,139 @@ def plot(model, ax=None, resolution=200, samples=0, filename=None, title=None,
     return fig
 
 
+# ------------------------------------------------------------- latent plots
+def _latent_XQ(model):
+    """(latent means (N, Q), ARD relevances (Q,)): GPLVM stores latents in X,
+    BayesianGPLVM in q_mu; relevance = 1/lengthscale per dim (GPy
+    get_most_significant_input_dimensions, kern/src/kern.py)."""
+    X = np.asarray(getattr(model, "q_mu", None) if hasattr(model, "q_mu")
+                   else model.X)
+    kern = model.kern
+    ls = np.asarray(kern.lengthscale).reshape(-1)
+    if ls.shape[0] != X.shape[1]:
+        ls = np.full(X.shape[1], float(ls[0]))
+    return X, 1.0 / ls
+
+
+def _significant_dims(model, which_indices=None):
+    """Two most ARD-relevant latent dims (latent_plots.py:92-96)."""
+    if which_indices is not None:
+        return tuple(which_indices)
+    _, rel = _latent_XQ(model)
+    order = np.argsort(rel)[::-1]
+    return (int(order[0]), int(order[1]) if rel.shape[0] > 1 else int(order[0]))
+
+
+def plot_latent_scatter(model, labels=None, which_indices=None, ax=None,
+                        filename=None):
+    """Latent positions scattered over the two most-relevant dims, colored by
+    label (gpy_plot/latent_plots.py plot_latent_scatter:80)."""
+    pl = plotting_library()
+    fig, axes = pl.figure() if ax is None else (None, [ax])
+    X, _ = _latent_XQ(model)
+    d0, d1 = _significant_dims(model, which_indices)
+    if labels is None:
+        pl.scatter(axes[0], X[:, d0], X[:, d1], label="latents")
+    else:
+        labels = np.asarray(labels)
+        for lab in np.unique(labels):
+            keep = labels == lab
+            pl.scatter(axes[0], X[keep, d0], X[keep, d1], label=str(lab))
+    pl.set_labels(axes[0], xlabel=f"latent dim {d0}", ylabel=f"latent dim {d1}")
+    if filename and fig is not None:
+        pl.save(fig, filename)
+    return fig
+
+
+def plot_latent_inducing(model, which_indices=None, ax=None, filename=None):
+    """Inducing inputs in latent space (latent_plots.py plot_latent_inducing
+    :111) — BayesianGPLVM/sparse models with a Z."""
+    pl = plotting_library()
+    fig, axes = pl.figure() if ax is None else (None, [ax])
+    Z = np.asarray(model.Z)
+    d0, d1 = _significant_dims(model, which_indices)
+    pl.scatter(axes[0], Z[:, d0], Z[:, d1], marker="^", label="inducing")
+    if filename and fig is not None:
+        pl.save(fig, filename)
+    return fig
+
+
+def _latent_grid(model, which_indices, resolution):
+    X, _ = _latent_XQ(model)
+    d0, d1 = which_indices
+    pads = 0.1 * (X.max(0) - X.min(0) + 1e-9)
+    g0 = np.linspace(X[:, d0].min() - pads[d0], X[:, d0].max() + pads[d0],
+                     resolution)
+    g1 = np.linspace(X[:, d1].min() - pads[d1], X[:, d1].max() + pads[d1],
+                     resolution)
+    G0, G1 = np.meshgrid(g0, g1)
+    Xg = np.tile(X.mean(0), (resolution * resolution, 1))
+    Xg[:, d0] = G0.ravel()
+    Xg[:, d1] = G1.ravel()
+    return G0, G1, Xg
+
+
+def plot_magnification(model, which_indices=None, resolution=40, ax=None,
+                       filename=None, mean=True):
+    """Magnification-factor map sqrt(det(J^T J)) of the latent->data mean
+    mapping over a latent grid (gpy_plot/latent_plots.py plot_magnification
+    :145, util/linalg magnification). The reference assembles the expected
+    Jacobian from hand-written kernel gradients; here J is one jacfwd through
+    predict — autodiff-exact for every model/kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    pl = plotting_library()
+    fig, axes = pl.figure() if ax is None else (None, [ax])
+    d0, d1 = _significant_dims(model, which_indices)
+    G0, G1, Xg = _latent_grid(model, (d0, d1), resolution)
+
+    post = (model.posterior_u() if hasattr(model, "posterior_u")
+            else model.inference())
+
+    def mean_at(x):
+        if hasattr(model, "posterior_u"):
+            mu, _ = model.predict(x[None, :], posterior=post)
+        else:
+            mu, _ = model._raw_predict(x[None, :], posterior=post)
+        return mu[0]
+
+    def mag(x):
+        J = jax.jacfwd(mean_at)(x)[:, jnp.asarray([d0, d1])]  # (P, 2)
+        JtJ = J.T @ J
+        return jnp.sqrt(jnp.maximum(jnp.linalg.det(JtJ), 0.0))
+
+    M = np.asarray(jax.vmap(mag)(jnp.asarray(Xg))).reshape(G0.shape)
+    pl.contour(axes[0], G0, G1, M)
+    if filename and fig is not None:
+        pl.save(fig, filename)
+    return fig, M
+
+
+def plot_latent(model, labels=None, which_indices=None, resolution=40, ax=None,
+                filename=None):
+    """Composite latent plot: magnification background + latent scatter
+    (+ inducing markers when the model has Z) — gpy_plot/latent_plots.py
+    plot_latent:194."""
+    pl = plotting_library()
+    fig, axes = pl.figure() if ax is None else (None, [ax])
+    a = axes[0]
+    plot_magnification(model, which_indices=which_indices,
+                       resolution=resolution, ax=a)
+    plot_latent_scatter(model, labels=labels, which_indices=which_indices, ax=a)
+    if getattr(model, "Z", None) is not None:
+        plot_latent_inducing(model, which_indices=which_indices, ax=a)
+    pl.legend(a)
+    if filename and fig is not None:
+        pl.save(fig, filename)
+    return fig
+
+
 def inject_plotting():
     """Attach the plot family as model methods (GPy plotting/__init__.py
     inject_plotting :41). Idempotent."""
     from ..models.gp import GPRegression
+    from ..models.gplvm import BayesianGPLVM
     from ..models.sparse import SparseGPRegression
 
     for cls in (GPRegression, SparseGPRegression):
@@ -407,3 +576,10 @@ def inject_plotting():
         cls.plot_density = plot_density
         if hasattr(cls, "posterior_samples_f"):
             cls.plot_samples = plot_samples
+    # latent-space plots (GPy latent_plots.py family): GPLVM is a GPRegression
+    # with latent X, so these attach to both
+    for cls in (GPRegression, BayesianGPLVM):
+        cls.plot_latent = plot_latent
+        cls.plot_latent_scatter = plot_latent_scatter
+        cls.plot_magnification = plot_magnification
+    BayesianGPLVM.plot_latent_inducing = plot_latent_inducing

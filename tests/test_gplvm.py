@@ -79,3 +79,35 @@ def test_gplvm_fit_recovers_structure(rng):
     x_latent = np.asarray(fitted.X)[:, 0]
     corr = abs(np.corrcoef(x_latent, t)[0, 1])
     assert corr > 0.9
+
+
+def test_bgplvm_predict_matches_sparse_in_deterministic_limit(rng):
+    """BayesianGPLVM.predict (decode; GPy inherits SparseGP.predict) must match
+    SparseGPRegression's predictive when q(X) collapses onto the true inputs."""
+    import dataclasses
+
+    from gaussian_process_optimization_tpu.models.sparse import SparseGPRegression
+
+    n, d = 25, 2
+    X = rng.standard_normal((n, d))
+    Y = np.sin(X[:, :1]) + 0.1 * rng.standard_normal((n, 1))
+    k = kern.RBF.create(d, variance=1.0, lengthscale=1.0, ARD=True)
+    bg = BayesianGPLVM.create(Y, input_dim=d, num_inducing=8, kernel=k,
+                              noise_var=0.05)
+    Z = np.asarray(bg.Z)
+    bg = dataclasses.replace(bg, q_mu=jnp.asarray(X),
+                             q_S=jnp.full((n, d), 1e-12),
+                             Y=jnp.asarray(Y - Y.mean(0)))
+    sp = SparseGPRegression.create(X, Y - Y.mean(0), kernel=k, Z=Z,
+                                   noise_var=0.05)
+    Xs = rng.standard_normal((7, d))
+    mu_b, v_b = bg.predict(jnp.asarray(Xs))
+    mu_s, v_s = sp.predict(jnp.asarray(Xs))
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_s),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_s),
+                               rtol=1e-3, atol=1e-6)
+    # full_cov diagonal agrees with the marginal variances
+    _, C = bg.predict(jnp.asarray(Xs), full_cov=True)
+    np.testing.assert_allclose(np.diag(np.asarray(C)),
+                               np.asarray(v_b)[:, 0], rtol=1e-6)

@@ -70,3 +70,25 @@ def test_backend_switch_roundtrip(model, tmp_path):
     fn = tmp_path / "after_switch.png"
     model.plot_mean(filename=str(fn))
     assert fn.exists()
+
+
+def test_latent_plot_family(tmp_path, rng):
+    """Latent plots (gpy_plot/latent_plots.py family): scatter over the two
+    most ARD-relevant dims, magnification map via jacfwd, inducing overlay."""
+    from gaussian_process_optimization_tpu.models.gplvm import (
+        BayesianGPLVM, make_gplvm)
+
+    t = np.sort(rng.uniform(-2, 2, 25))
+    Y = np.stack([np.sin(t), np.cos(t), t], axis=1)
+
+    m = make_gplvm(Y, input_dim=2)
+    f = tmp_path / "latent_gplvm.png"
+    m.plot_latent(labels=(t > 0).astype(int), filename=str(f))
+    assert f.exists() and f.stat().st_size > 0
+
+    bg = BayesianGPLVM.create(Y, input_dim=2, num_inducing=5)
+    f2 = tmp_path / "latent_bgplvm.png"
+    bg.plot_latent(filename=str(f2))
+    assert f2.exists() and f2.stat().st_size > 0
+    _, M = bg.plot_magnification(resolution=8)
+    assert M.shape == (8, 8) and np.all(np.isfinite(M)) and np.all(M >= 0)
