@@ -66,6 +66,21 @@ class Kernel:
             return tuple(self.parts)
         return (self,)
 
+    def input_sensitivity(self, summarize=True):
+        """Per-input-dim relevance, used by plot_ARD and the most-significant-
+        dims selection in the latent plots (GPy kern.py Kern.input_sensitivity:
+        zeros unless a subclass defines a meaningful notion)."""
+        return jnp.zeros((self.input_dim,))
+
+    def _scatter_sensitivity(self):
+        """This kernel's sensitivity placed at its active_dims positions within
+        a length-input_dim vector (GPy CombinationKernel.input_sensitivity)."""
+        s = jnp.asarray(self.input_sensitivity())
+        if self.active_dims is None:
+            return jnp.broadcast_to(s, (self.input_dim,))
+        out = jnp.zeros((max(self.active_dims) + 1,))
+        return out.at[jnp.asarray(self.active_dims)].set(s)
+
     # gradients via autodiff (interface parity with GPy Kern.gradients_X,
     # kern.py / stationary.py:271). dL_dK-weighted variants are not needed —
     # jax.grad over any loss of K handles them — but gradients_X is used by
@@ -92,6 +107,9 @@ class Add(Kernel):
     def Kdiag(self, X):
         return sum(p.Kdiag(X) for p in self.parts)
 
+    def input_sensitivity(self, summarize=True):
+        return _combined_sensitivity(self)
+
 
 @pytree_dataclass
 class Prod(Kernel):
@@ -112,3 +130,19 @@ class Prod(Kernel):
             k = p.Kdiag(X)
             out = k if out is None else out * k
         return out
+
+    def input_sensitivity(self, summarize=True):
+        return _combined_sensitivity(self)
+
+
+def _combined_sensitivity(combo):
+    """Summed per-dim sensitivity over a combination's parts, each scattered to
+    its active_dims (GPy kern.py CombinationKernel.input_sensitivity:592 —
+    which also just sums parts when summarize=True)."""
+    width = combo.input_dim
+    pieces = [p._scatter_sensitivity() for p in combo.parts]
+    width = max([width] + [int(p.shape[0]) for p in pieces])
+    out = jnp.zeros((width,))
+    for s in pieces:
+        out = out.at[: s.shape[0]].add(s)
+    return out

@@ -30,3 +30,7 @@ class Linear(Kernel):
     def Kdiag(self, X):
         X = self._slice(X)
         return jnp.sum(jnp.square(X) * self.variances, axis=-1)
+
+    def input_sensitivity(self, summarize=True):
+        """Per-dim variances (GPy linear.py:134 input_sensitivity)."""
+        return jnp.broadcast_to(self.variances, (self.input_dim,))

