@@ -34,6 +34,12 @@ class LBFGSResult(NamedTuple):
     # (scipy's ABNORMAL_TERMINATION analog) — distinct from `converged`, which
     # reports a projected-gradient tolerance stop only
     failed: jnp.ndarray = None
+    # per-iteration objective values, shape (maxiter + 1,), NaN beyond
+    # num_iters — populated only when minimize(..., trace=True) (the analog of
+    # GPy optimizers that supply `.trace` for plot_optimizer,
+    # inference_plots.py:10); None on the default path so the tuned fit-loop
+    # carry is untouched
+    trace: jnp.ndarray = None
 
 
 def _project(x, lower, upper):
@@ -45,7 +51,7 @@ def _project(x, lower, upper):
 
 
 def _minimize(fun, x0, lower, upper, maxiter, history, tol,
-              max_ls=25, has_bounds=False, carry_vjp=True):
+              max_ls=25, has_bounds=False, carry_vjp=True, trace=False):
     n = x0.shape[0]
     m = history
     dtype = x0.dtype
@@ -90,6 +96,12 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         jnp.asarray(1.0, dtype),   # warm-start trial step t_init
         jnp.asarray(False),        # a line search failed at max_ls trials
     )
+    if trace:
+        # trace is a STATIC flag: the buffer only joins the carry when asked
+        # for, so the default fit path's jaxpr (and compiled program) is
+        # byte-identical with or without this feature
+        ftrace0 = jnp.full((int(maxiter) + 1,), jnp.nan, dtype).at[0].set(f0)
+        init_state = init_state + (ftrace0,)
 
     def two_loop(k, g, S, Ys, rho, gamma):
         def bwd(i, carry):
@@ -216,6 +228,8 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         return (~converged) & (k < maxiter)
 
     def body(state):
+        if trace:
+            state, (ftrace,) = state[:14], state[14:]
         (k, x, f, g, S, Ys, rho, gamma, xb, fb, frozen, n_ls, t_init,
          ls_failed) = state
         d = two_loop(k, g, S, Ys, rho, gamma)
@@ -258,10 +272,15 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         # `frozen` drives the vmap freeze trick, `ls_failed` records failure
         frozen_new = frozen | small_grad | (~ls_ok)
         ls_failed = ls_failed | (~ls_ok & ~frozen)
-        return (k + 1, x_new, f_new, g_new, S, Ys, rho, gamma, xb, fb, frozen_new,
-                n_ls, t_init, ls_failed)
+        out = (k + 1, x_new, f_new, g_new, S, Ys, rho, gamma, xb, fb, frozen_new,
+               n_ls, t_init, ls_failed)
+        if trace:
+            out = out + (ftrace.at[k + 1].set(f_new),)
+        return out
 
     final = lax.while_loop(cond, body, init_state)
+    ftrace_final = final[14] if trace else None
+    final = final[:14]
     k, _, _, _, _, _, _, _, xb, fb, frozen_final, n_ls, _, ls_failed = final
 
     # If even the initial point is non-finite, return x0 (GPyOpt optimizer.py:54-56).
@@ -272,11 +291,11 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
     # tolerance cases only. A lane that ran out of maxiter is neither.
     converged = frozen_final & ~ls_failed & ~bad_start
     return LBFGSResult(x=xb, f=fb, num_iters=k, converged=converged, num_ls=n_ls,
-                       failed=ls_failed | bad_start)
+                       failed=ls_failed | bad_start, trace=ftrace_final)
 
 
 def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5,
-             max_ls=25, carry_vjp=True):
+             max_ls=25, carry_vjp=True, trace=False):
     """Minimize `fun(x) -> scalar` from x0 (1-D array). Returns LBFGSResult.
 
     `lower`/`upper` (optional, broadcastable to x0) activate box projection.
@@ -285,6 +304,9 @@ def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5
     set False for cheap objectives (acquisition optimization) where value-only
     trials + one value_and_grad is faster than threading residual buffers
     through the loop carry. jit-compatible; vmap over x0 for multi-start.
+    `trace=True` (static) additionally returns the per-iteration objective in
+    ``result.trace`` for plot_optimizer — off by default so the fit hot path
+    carries nothing extra.
     """
     x0 = jnp.asarray(x0)
     has_bounds = lower is not None or upper is not None
@@ -292,5 +314,5 @@ def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5
     hi = None if upper is None else jnp.broadcast_to(jnp.asarray(upper, x0.dtype), x0.shape)
     return _minimize(
         fun, x0, lo, hi, maxiter, history, jnp.asarray(tol, x0.dtype),
-        max_ls=max_ls, has_bounds=has_bounds, carry_vjp=carry_vjp,
+        max_ls=max_ls, has_bounds=has_bounds, carry_vjp=carry_vjp, trace=trace,
     )

@@ -756,6 +756,28 @@ def plot_covariance(kernel, x=None, plot_limits=(-3.0, 3.0), resolution=None,
     return fig, K
 
 
+def plot_optimizer(trace, ax=None, filename=None):
+    """Objective-vs-iteration trace plot (gpy_plot/inference_plots.py
+    plot_optimizer:10). Accepts an ``LBFGSResult`` from
+    ``ops.lbfgs.minimize(..., trace=True)``, any object with a ``.trace``
+    attribute, or a plain array; trailing NaNs (unreached iterations) are
+    dropped."""
+    t = getattr(trace, "trace", trace)
+    if t is None:
+        print("No trace present so I can't plot it. Pass trace=True to "
+              "ops.lbfgs.minimize (or an array of objective values).")
+        return None
+    t = np.asarray(t).ravel()
+    t = t[~np.isnan(t)]
+    pl = plotting_library()
+    fig, axes = pl.figure() if ax is None else (None, [ax])
+    pl.plot(axes[0], np.arange(t.shape[0]), t, label="objective")
+    pl.set_labels(axes[0], xlabel="Iteration", ylabel="f(x)")
+    if filename and fig is not None:
+        pl.save(fig, filename)
+    return fig
+
+
 def inject_plotting():
     """Attach the plot family as model methods (GPy plotting/__init__.py
     inject_plotting :41). Idempotent."""

@@ -63,3 +63,28 @@ def test_under_jit():
     run = jax.jit(lambda x0: lbfgs.minimize(f, x0, maxiter=200).x)
     # quartic minimum: gradient vanishes cubically, so convergence is loose
     np.testing.assert_allclose(np.asarray(run(jnp.asarray([2.0]))), [-1.0], atol=5e-2)
+
+
+def test_trace_records_monotone_objective():
+    """minimize(trace=True) returns the per-iteration objective (the GPy
+    optimizer `.trace` analog, inference_plots.py:10); default path returns
+    None so the fit-loop carry is untouched."""
+    import numpy as np
+
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+    x0 = jnp.asarray([-1.2, 1.0, 0.7])
+    res = lbfgs.minimize(rosen, x0, maxiter=60, trace=True)
+    assert res.trace is not None and res.trace.shape == (61,)
+    t = np.asarray(res.trace)
+    n = int(res.num_iters)
+    assert np.all(np.isfinite(t[: n + 1]))
+    assert np.all(np.isnan(t[n + 1:]))
+    np.testing.assert_allclose(t[0], float(rosen(x0)), rtol=1e-12)
+    # same final answer as the default (untraced) path
+    res0 = lbfgs.minimize(rosen, x0, maxiter=60)
+    assert res0.trace is None
+    np.testing.assert_allclose(float(res.f), float(res0.f), rtol=1e-12)
+    # the best-seen objective is the trace minimum
+    np.testing.assert_allclose(float(res.f), np.nanmin(t), rtol=1e-12)

@@ -182,3 +182,19 @@ def test_plot_steepest_gradient_map(tmp_path, rng):
     assert fn.exists() and os.path.getsize(fn) > 1000
     assert steep.shape == (6, 6) and arg.shape == (6, 6)
     assert np.all(steep >= 0) and np.all((arg == 0) | (arg == 1))
+
+
+def test_plot_optimizer(tmp_path):
+    """plot_optimizer (inference_plots.py:10): renders an LBFGSResult trace;
+    returns None (with a message) when no trace was recorded."""
+    import jax.numpy as jnp
+
+    from gaussian_process_optimization_tpu.ops import lbfgs
+
+    res = lbfgs.minimize(lambda x: jnp.sum((x - 2.0) ** 2),
+                         jnp.zeros(3), maxiter=30, trace=True)
+    fn = tmp_path / "opt.png"
+    fig = pl.plot_optimizer(res, filename=str(fn))
+    assert fn.exists() and os.path.getsize(fn) > 1000
+    assert pl.plot_optimizer(lbfgs.minimize(
+        lambda x: jnp.sum(x ** 2), jnp.ones(2), maxiter=5)) is None
