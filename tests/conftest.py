@@ -58,6 +58,7 @@ _SLOW = {
     "test_bo_fuzz.py::test_bo_random_space_never_crashes",
     "test_classification.py::test_gp_classification_optimize_improves_evidence",
     "test_cluster.py::test_cluster_recovers_groups",
+    "test_examples.py::test_latent_plots_and_clustering_example",
     "test_cluster.py::test_pair_likelihood_and_offset",
     "test_cluster.py::test_padded_batch_matches_model_class",
     "test_epmgp.py::test_es_mc_and_epmgp_rank_agreement",

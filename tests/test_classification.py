@@ -54,3 +54,21 @@ def test_sparse_matches_dense_with_all_inducing(rng):
     pd = np.asarray(dense.predict(np.array([[-1.0], [0.0], [1.0]])))
     ps = np.asarray(sparse.predict(np.array([[-1.0], [0.0], [1.0]])))
     np.testing.assert_allclose(ps, pd, atol=5e-3)
+
+
+def test_conf_matrix_counts():
+    """conf_matrix (GPy util/classification.py:6): exact count bookkeeping and
+    the reference's (error, TP, FP, TN, FN) return order."""
+    import numpy as np
+
+    from gaussian_process_optimization_tpu.utils.classification import conf_matrix
+
+    p = np.array([0.9, 0.8, 0.4, 0.2, 0.6, 0.1])
+    labels = np.array([1, 0, 1, 0, 1, 1])
+    err, t1, f1, t0, f0 = conf_matrix(p, labels, show=False)
+    # decisions: 1,1,0,0,1,0 -> true1 {0,4}, false1 {1}, true0 {3}, false0 {2,5}
+    assert (t1, f1, t0, f0) == (2, 1, 1, 2)
+    np.testing.assert_allclose(err, 3 / 6)
+    # perfect classifier
+    err, t1, f1, t0, f0 = conf_matrix(labels.astype(float), labels, show=False)
+    assert err == 0.0 and t1 == 4 and t0 == 2 and f1 == 0 and f0 == 0

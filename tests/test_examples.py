@@ -65,3 +65,15 @@ def test_latent_inference_example(tmp_path, monkeypatch):
     m_mh, m_hmc, rate = ex.mcmc_tail_demo(num_samples=800)
     assert 0.05 < rate < 0.95
     assert abs(m_mh[0] - 1.0) < 0.5 and abs(m_hmc[0] - 1.0) < 0.5
+
+
+def test_latent_plots_and_clustering_example(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from examples import latent_plots_and_clustering
+
+    m, rec, loc_err, groups = latent_plots_and_clustering.main(
+        plot=True, outdir=str(tmp_path), maxiter=80)
+    for f in ("latent.png", "steepest.png", "ard.png"):
+        assert (tmp_path / f).exists(), f
+    assert np.isfinite(rec) and np.isfinite(loc_err)
+    assert sorted(sorted(g) for g in groups) == [[0, 1], [2, 3]]
