@@ -318,9 +318,7 @@ class GPRegression:
                 "ambiguous — pass noise_at_test='mean', a scalar, or a per-test-"
                 "point (M,) array (GPy's Y_metadata output_index analog), or use "
                 "predict_noiseless()")
-        if isinstance(noise_at_test, str):
-            if noise_at_test != "mean":
-                raise ValueError(f"unknown noise_at_test mode {noise_at_test!r}")
+        if isinstance(noise_at_test, str):  # 'mean' (validated at the top)
             if self.mask is not None:
                 return jnp.sum(v * self.mask) / jnp.maximum(jnp.sum(self.mask), 1.0)
             return jnp.mean(v)

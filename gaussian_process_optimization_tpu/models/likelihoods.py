@@ -595,9 +595,19 @@ class MultioutputLikelihood(Likelihood):
 
     @classmethod
     def create(cls, likelihoods, output_index):
+        import numpy as np
+
+        idx = np.asarray(output_index, dtype=int).reshape(-1)
+        if idx.size and (idx.min() < 0 or idx.max() >= len(likelihoods)):
+            # validate eagerly: the branchless _select would silently fall back
+            # to likelihoods[0] for out-of-range rows while gaussian_variance's
+            # gather would clamp to the LAST — two different silent answers
+            raise ValueError(
+                f"output_index values must lie in [0, {len(likelihoods) - 1}]; "
+                f"got range [{idx.min()}, {idx.max()}]")
         return cls(
             likelihoods=tuple(likelihoods),
-            output_index=jnp.asarray(output_index, dtype=int).reshape(-1),
+            output_index=jnp.asarray(idx),
         )
 
     def _idx_like(self, x):
@@ -654,12 +664,18 @@ class MultioutputLikelihood(Likelihood):
         """Site-wise EP moments through the matching sub-likelihood
         (multioutput_likelihood.py:59-60). ``gh_points`` is forwarded to
         quadrature-based sub-likelihoods; closed-form ones ignore it."""
+        import inspect
+
         outs = []
         for l in self.likelihoods:
-            try:
+            # signature probe, not try/except TypeError: a TypeError raised
+            # INSIDE a sub-likelihood's quadrature must propagate, not trigger
+            # a silent retry at the default point count
+            params = inspect.signature(l.moments_match_ep).parameters
+            if "gh_points" in params:
                 outs.append(l.moments_match_ep(y, tau_cav, v_cav,
                                                gh_points=gh_points))
-            except TypeError:  # closed-form moments without a gh_points kwarg
+            else:
                 outs.append(l.moments_match_ep(y, tau_cav, v_cav))
         logZ = self._select([o[0] for o in outs], y)
         mu_hat = self._select([o[1] for o in outs], y)

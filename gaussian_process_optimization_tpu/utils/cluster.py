@@ -182,7 +182,10 @@ def cluster(data, inputs, verbose=False, maxiter=80):
         i, j = top  # join j into i (reference joins top[1] into top[0])
         offset = pairoff[i, j]
         active[i].extend(active[j])
-        inputs[i] = np.vstack([inputs[i], inputs[j] - offset])
+        # the pair fit ADDS the offset to cluster j's rows (sel == 1, matching
+        # GPOffsetRegression._shifted), so aligning j onto i applies +offset —
+        # the reference subtracts because ITS model shifts the other way
+        inputs[i] = np.vstack([inputs[i], inputs[j] + offset])
         data[i] = np.hstack([data[i], data[j]])
         del inputs[j], data[j], active[j]
         pairll[:, i] = np.nan

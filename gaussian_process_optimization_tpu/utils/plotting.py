@@ -87,14 +87,10 @@ def plot_gp(model, bounds=None, filename=None, resolution=200, n_samples=0,
         xs = np.linspace(bounds[0][0], bounds[0][1], resolution)[:, None]
         import jax.numpy as jnp
 
-        v = getattr(model, "likelihood_variance", None)
-        if v is not None and getattr(v, "ndim", 0) > 0:
-            # heteroscedastic: plot with the mean per-point variance (the
-            # pre-round-3 implicit behavior, now an explicit choice)
-            mu, var = model.predict(jnp.asarray(xs), noise_at_test="mean")
-        else:
-            mu, var = model.predict(jnp.asarray(xs))
-        mu, sd = np.asarray(mu)[:, 0], np.sqrt(np.asarray(var))[:, 0]
+        from .plotting_library import _predict_np
+
+        # heteroscedastic noise_at_test='mean' fallback lives in ONE place
+        mu, sd = _predict_np(model, xs)
         fig, ax = plt.subplots(figsize=(8, 5))
         ax.plot(xs[:, 0], mu, "b-", label="mean")
         ax.fill_between(xs[:, 0], mu - 1.96 * sd, mu + 1.96 * sd, alpha=0.25,

@@ -452,12 +452,22 @@ def _latent_XQ(model):
 
 
 def _significant_dims(model, which_indices=None):
-    """Two most ARD-relevant latent dims (latent_plots.py:92-96)."""
+    """Two most ARD-relevant latent dims (latent_plots.py:92-96). The latent
+    plot family needs TWO distinct dims (the reference's
+    get_most_significant_input_dimensions requires the same); a 1-D latent
+    space raises rather than silently rendering X[:,0] against itself."""
     if which_indices is not None:
-        return tuple(which_indices)
+        d0, d1 = tuple(which_indices)
+        if d0 == d1:
+            raise ValueError("which_indices must name two distinct latent dims")
+        return d0, d1
     _, rel = _latent_XQ(model)
+    if rel.shape[0] < 2:
+        raise ValueError(
+            "latent plots need >= 2 latent dimensions; this model has "
+            f"{rel.shape[0]} (use plot/plot_mean for 1-D latent spaces)")
     order = np.argsort(rel)[::-1]
-    return (int(order[0]), int(order[1]) if rel.shape[0] > 1 else int(order[0]))
+    return int(order[0]), int(order[1])
 
 
 def plot_latent_scatter(model, labels=None, which_indices=None, ax=None,

@@ -68,6 +68,7 @@ _SLOW = {
     "test_es_pool_serialization.py::test_pool_selection_lp",
     "test_examples.py::test_classification_and_latents_example",
     "test_examples.py::test_forrester_gp_example",
+    "test_examples.py::test_latent_inference_example",
     "test_examples.py::test_mixed_design_example",
     "test_examples.py::test_multichip_bo_example",
     "test_gp.py::test_lml_gradient_checkgrad",

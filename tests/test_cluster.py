@@ -65,3 +65,20 @@ def test_padded_batch_matches_model_class():
     # prior, worth << 1 nat at |offset| ~ 0.4 with std 20)
     assert abs(ll_batch - ll_model) < 1.0
     assert abs(abs(off_batch) - abs(float(m.offset[0]))) < 0.05
+
+
+def test_merge_alignment_sign():
+    """Regression: the greedy merge must apply the fitted offset with the SAME
+    sign convention as the pair fit (offset ADDED to cluster j's rows), so the
+    merged cluster's offset-free LL equals the pair fit's LL. A flipped sign
+    misaligns merged inputs by 2x the shift and corrupts later rounds."""
+    data, inputs = _two_groups()
+    ll_pair, off = get_log_likelihood_offset(inputs, data, [0, 1], maxiter=60)
+    merged_x = [np.vstack([inputs[0], inputs[1] + off])]
+    merged_y = [np.hstack([data[0], data[1]])]
+    ll_merged, _ = get_log_likelihood(merged_x, merged_y, [0], maxiter=60)
+    assert abs(ll_merged - ll_pair) < 1.0
+    # and the WRONG sign is catastrophically worse
+    wrong_x = [np.vstack([inputs[0], inputs[1] - off])]
+    ll_wrong, _ = get_log_likelihood(wrong_x, merged_y, [0], maxiter=60)
+    assert ll_wrong < ll_pair - 20

@@ -192,3 +192,17 @@ def test_multioutput_likelihood_ep_moments():
         np.testing.assert_allclose(float(lZ[n]), float(src[0][n]), rtol=1e-10)
         np.testing.assert_allclose(float(mu[n]), float(src[1][n]), rtol=1e-10)
         np.testing.assert_allclose(float(s2[n]), float(src[2][n]), rtol=1e-10)
+
+
+def test_multioutput_index_validation():
+    """create() must reject out-of-range output_index eagerly: the branchless
+    select would silently route such rows to likelihoods[0] while the Gaussian
+    gather clamps to the last — two different silent answers."""
+    import pytest
+
+    g = lik.GaussianLik.create(variance=0.1)
+    b = lik.Bernoulli()
+    with pytest.raises(ValueError, match="output_index"):
+        lik.MultioutputLikelihood.create([g, b], [0, 1, 2])
+    with pytest.raises(ValueError, match="output_index"):
+        lik.MultioutputLikelihood.create([g, b], [-1, 0])

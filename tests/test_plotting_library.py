@@ -198,3 +198,17 @@ def test_plot_optimizer(tmp_path):
     assert fn.exists() and os.path.getsize(fn) > 1000
     assert pl.plot_optimizer(lbfgs.minimize(
         lambda x: jnp.sum(x ** 2), jnp.ones(2), maxiter=5)) is None
+
+
+def test_latent_plots_reject_1d_latent():
+    """A 1-D latent space cannot render the two-dim latent plots: raise a
+    clear error instead of silently plotting X[:,0] against itself."""
+    from gaussian_process_optimization_tpu.models.gplvm import make_gplvm
+
+    Y = np.stack([np.sin(np.linspace(0, 3, 12)),
+                  np.cos(np.linspace(0, 3, 12))], axis=1)
+    m = make_gplvm(Y, input_dim=1)
+    with pytest.raises(ValueError, match="2 latent dim"):
+        m.plot_latent_scatter()
+    with pytest.raises(ValueError, match="distinct"):
+        m.plot_magnification(which_indices=(0, 0))
