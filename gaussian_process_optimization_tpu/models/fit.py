@@ -31,7 +31,11 @@ def make_objective(packer, priors: dict[str, Prior] | None = None,
     """Returns obj(u, model) = -(LML(model with packed params u) + log prior).
 
     `priors`: field-name -> Prior, applied on constrained values (GPy
-    core/model.py:101-127 objective = -logL - logPrior).
+    core/model.py:101-127 objective = -logL - logPrior). For priored parameters
+    under a non-identity transform, the transform's log-Jacobian is added so the
+    unconstrained-space target is the correctly change-of-variabled density
+    (GPy core/parameterization/priorizable.py:57-65; fixed parameters carry no
+    Jacobian there either — paramz replaces their constraint with __fixed__).
     """
     def obj(u, model):
         m = packer.unpack(u, reference=model)
@@ -39,10 +43,14 @@ def make_objective(packer, priors: dict[str, Prior] | None = None,
         if priors:
             leaf_names = _leaf_names(m)
             leaves = jax.tree_util.tree_leaves(m)
-            for nm, leaf in zip(leaf_names, leaves):
+            for nm, leaf, t, fx in zip(leaf_names, leaves,
+                                       packer.transforms, packer.fixed):
                 pr = priors.get(nm)
                 if pr is not None:
-                    total = total + jnp.sum(pr.lnpdf(jnp.asarray(leaf)))
+                    leaf = jnp.asarray(leaf)
+                    total = total + jnp.sum(pr.lnpdf(leaf))
+                    if not fx:
+                        total = total + jnp.sum(t.log_jacobian(leaf))
         if extra_loss is not None:
             total = total - extra_loss(m)
         return -total

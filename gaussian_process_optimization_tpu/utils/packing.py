@@ -63,6 +63,16 @@ class Packer:
             self._fixed = [bool(f) for f in fixed_leaves]
         self.num_free = sum(s for s, f in zip(self._sizes, self._fixed) if not f)
 
+    @property
+    def transforms(self):
+        """Per-leaf transforms, in template tree_leaves order."""
+        return tuple(self._transforms)
+
+    @property
+    def fixed(self):
+        """Per-leaf fixed flags, in template tree_leaves order."""
+        return tuple(self._fixed)
+
     def pack(self, params: Any) -> jnp.ndarray:
         leaves = jax.tree_util.tree_leaves(params)
         parts = []

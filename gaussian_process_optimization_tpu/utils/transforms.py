@@ -36,6 +36,14 @@ class Transform:
         """
         return z
 
+    def log_jacobian(self, v):
+        """log |d forward / du| evaluated at the CONSTRAINED value ``v`` (the
+        paramz ``Transformation.log_jacobian(model_param)`` signature). Added to
+        the log prior of transformed parameters so the optimizer/HMC target in
+        unconstrained space is the correctly change-of-variabled density
+        (GPy core/parameterization/priorizable.py:57-65)."""
+        return jnp.zeros_like(jnp.asarray(v))
+
 
 @pytree_dataclass
 class Identity(Transform):
@@ -69,6 +77,11 @@ class Positive(Transform):
             safe > _LIM_VAL, safe, jnp.log(jnp.expm1(jnp.minimum(safe, _LIM_VAL)))
         )
 
+    def log_jacobian(self, v):
+        # theta = softplus(u) => dtheta/du = sigmoid(u) = 1 - exp(-theta), so
+        # log|J| = log(1 - e^{-theta}); ~0 for large theta, log(theta) near 0.
+        return jnp.log(-jnp.expm1(-jnp.maximum(jnp.asarray(v), 1e-30)))
+
 
 @pytree_dataclass
 class Logistic(Transform):
@@ -94,6 +107,14 @@ class Logistic(Transform):
         v = jnp.clip(POSITIVE.forward(jnp.asarray(z)), self.lo * (1.0 + 1e-6) + 1e-300,
                      self.lo + (self.hi - self.lo) * (1.0 - 1e-6))
         return self.inverse(v)
+
+    def log_jacobian(self, v):
+        # theta = lo + (hi-lo)*sigmoid(u) => dtheta/du = (theta-lo)(hi-theta)/(hi-lo)
+        v = jnp.asarray(v)
+        w = self.hi - self.lo
+        eps = 1e-30 * w
+        return (jnp.log(jnp.maximum(v - self.lo, eps))
+                + jnp.log(jnp.maximum(self.hi - v, eps)) - jnp.log(w))
 
 
 POSITIVE = Positive()
