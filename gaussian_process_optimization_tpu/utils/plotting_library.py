@@ -292,14 +292,65 @@ def _model_xy(model):
     return X, Y
 
 
-def _grid_1d(model, resolution=200, bounds=None):
+def fixed_inputs(model, non_fixed_dims, fix_routine="median", as_list=True,
+                 X_all=False):
+    """Values at which to hold the non-plotted input dims (GPy
+    plotting/matplot_dep/util.py fixed_inputs; behavior pinned by
+    GPy/testing/util_tests.py:53-100). Returns [(dim, value)] for every input
+    dim NOT in ``non_fixed_dims``; ``fix_routine`` in {'median','mean','zero'}.
+    Uncertain-input models (BayesianGPLVM) use the posterior means q_mu, like
+    the reference uses X.mean for NormalPosterior inputs."""
+    del X_all  # reference flag for trainset-vs-all rows; we always use model.X
+    X = np.asarray(model.q_mu) if hasattr(model, "q_mu") else _model_xy(model)[0]
+    routines = {
+        "median": lambda col: float(np.median(col)),
+        "mean": lambda col: float(np.mean(col)),
+        "zero": lambda col: 0.0,
+    }
+    if fix_routine not in routines:
+        raise ValueError(f"fix_routine must be one of {sorted(routines)}")
+    fn = routines[fix_routine]
+    keep = {int(d) for d in non_fixed_dims}
+    out = [(d, fn(X[:, d])) for d in range(X.shape[1]) if d not in keep]
+    return out if as_list else dict(out)
+
+
+def _free_dims(model, visible_dims, fixed):
+    D = np.asarray(model.X).shape[1]
+    fixed_dims = {int(i) for i, _ in (fixed or [])}
+    if visible_dims is not None:
+        free = [int(d) for d in np.atleast_1d(visible_dims)]
+    else:
+        free = [d for d in range(D) if d not in fixed_dims]
+    return free, D
+
+
+def _grid_1d(model, resolution=200, bounds=None, visible_dims=None,
+             fixed_inputs=None):
+    """(R, D) prediction grid with exactly ONE free dim varying and the rest
+    held at their fixed_inputs values (gpy_plot/plot_util.py:103-126
+    helper_for_plot_data; unfixed non-visible dims sit at 0 like the
+    reference's np.zeros Xgrid). Returns (Xgrid, free_dim)."""
+    free, D = _free_dims(model, visible_dims, fixed_inputs)
+    if len(free) != 1:
+        raise ValueError(
+            f"1-D plot needs exactly one free dim; got {free} from "
+            f"visible_dims={visible_dims} fixed_inputs={fixed_inputs} "
+            "(use utils.plotting_library.fixed_inputs(model, [dim]) to pin "
+            "the others)")
+    d0 = free[0]
+    X, _ = _model_xy(model)
     if bounds is not None:
         lo, hi = bounds[0]
-        return np.linspace(lo, hi, resolution)[:, None]
-    X, _ = _model_xy(model)
-    lo, hi = X[:, 0].min(), X[:, 0].max()
-    pad = 0.1 * (hi - lo + 1e-9)
-    return np.linspace(lo - pad, hi + pad, resolution)[:, None]
+    else:
+        lo, hi = X[:, d0].min(), X[:, d0].max()
+        pad = 0.1 * (hi - lo + 1e-9)
+        lo, hi = lo - pad, hi + pad
+    grid = np.zeros((resolution, D))
+    grid[:, d0] = np.linspace(lo, hi, resolution)
+    for i, v in fixed_inputs or []:
+        grid[:, int(i)] = v
+    return grid, d0
 
 
 def _predict_np(model, xs):
@@ -314,48 +365,52 @@ def _predict_np(model, xs):
     return np.asarray(mu)[:, 0], np.sqrt(np.asarray(var))[:, 0]
 
 
-def plot_data(model, ax=None, filename=None):
+def plot_data(model, ax=None, filename=None, visible_dims=None):
     """(gpy_plot/data_plots.py)"""
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
     X, Y = _model_xy(model)
-    pl.scatter(axes[0], X[:, 0], Y[:, 0], label="data")
+    d0 = int(np.atleast_1d(visible_dims)[0]) if visible_dims is not None else 0
+    pl.scatter(axes[0], X[:, d0], Y[:, 0], label="data")
     if filename and fig is not None:
         pl.save(fig, filename)
     return fig
 
 
 def plot_mean(model, ax=None, resolution=200, filename=None, bounds=None,
-              precomputed=None):
-    """(gpy_plot/gp_plots.py plot_mean). `precomputed=(xs, mu, sd)` lets the
-    composite plot() share one posterior inference across layers."""
+              precomputed=None, visible_dims=None, fixed_inputs=None):
+    """(gpy_plot/gp_plots.py plot_mean). `precomputed=(x_axis, mu, sd)` lets
+    the composite plot() share one posterior inference across layers."""
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
     if precomputed is None:
-        xs = _grid_1d(model, resolution, bounds)
+        xs, d0 = _grid_1d(model, resolution, bounds, visible_dims, fixed_inputs)
         mu, _ = _predict_np(model, xs)
+        x_axis = xs[:, d0]
     else:
-        xs, mu, _ = precomputed
-    pl.plot(axes[0], xs[:, 0], mu, color="b", label="mean")
+        x_axis, mu, _ = precomputed
+    pl.plot(axes[0], x_axis, mu, color="b", label="mean")
     if filename and fig is not None:
         pl.save(fig, filename)
     return fig
 
 
 def plot_confidence(model, ax=None, resolution=200, lower=2.5, upper=97.5,
-                    filename=None, bounds=None, precomputed=None):
+                    filename=None, bounds=None, precomputed=None,
+                    visible_dims=None, fixed_inputs=None):
     """(gpy_plot/gp_plots.py plot_confidence): central credible band."""
     from scipy.stats import norm
 
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
     if precomputed is None:
-        xs = _grid_1d(model, resolution, bounds)
+        xs, d0 = _grid_1d(model, resolution, bounds, visible_dims, fixed_inputs)
         mu, sd = _predict_np(model, xs)
+        x_axis = xs[:, d0]
     else:
-        xs, mu, sd = precomputed
+        x_axis, mu, sd = precomputed
     zl, zu = norm.ppf(lower / 100.0), norm.ppf(upper / 100.0)
-    pl.fill_between(axes[0], xs[:, 0], mu + zl * sd, mu + zu * sd, alpha=0.3,
+    pl.fill_between(axes[0], x_axis, mu + zl * sd, mu + zu * sd, alpha=0.3,
                     label=f"{upper - lower:.0f}% CI")
     if filename and fig is not None:
         pl.save(fig, filename)
@@ -363,36 +418,38 @@ def plot_confidence(model, ax=None, resolution=200, lower=2.5, upper=97.5,
 
 
 def plot_samples(model, ax=None, resolution=200, samples=3, key=None,
-                 filename=None, bounds=None):
+                 filename=None, bounds=None, visible_dims=None,
+                 fixed_inputs=None):
     """(gpy_plot/gp_plots.py plot_samples): posterior function draws."""
     import jax
     import jax.numpy as jnp
 
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
-    xs = _grid_1d(model, resolution, bounds)
+    xs, d0 = _grid_1d(model, resolution, bounds, visible_dims, fixed_inputs)
     key = key if key is not None else jax.random.PRNGKey(0)
     S = np.asarray(model.posterior_samples_f(jnp.asarray(xs), samples, key))
     for i in range(S.shape[1]):
-        pl.plot(axes[0], xs[:, 0], S[:, i], linewidth=0.8, alpha=0.7)
+        pl.plot(axes[0], xs[:, d0], S[:, i], linewidth=0.8, alpha=0.7)
     if filename and fig is not None:
         pl.save(fig, filename)
     return fig
 
 
-def plot_density(model, ax=None, resolution=200, levels=32, filename=None):
+def plot_density(model, ax=None, resolution=200, levels=32, filename=None,
+                 visible_dims=None, fixed_inputs=None):
     """(gpy_plot/gp_plots.py plot_density): predictive density as stacked
     translucent quantile bands."""
     from scipy.stats import norm
 
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
-    xs = _grid_1d(model, resolution)
+    xs, d0 = _grid_1d(model, resolution, None, visible_dims, fixed_inputs)
     mu, sd = _predict_np(model, xs)
     qs = np.linspace(0.02, 0.98, levels)
     for lo_q, hi_q in zip(qs[:-1], qs[1:]):
         zl, zu = norm.ppf(lo_q), norm.ppf(hi_q)
-        pl.fill_between(axes[0], xs[:, 0], mu + zl * sd, mu + zu * sd,
+        pl.fill_between(axes[0], xs[:, d0], mu + zl * sd, mu + zu * sd,
                         alpha=1.5 / levels, color="b")
     if filename and fig is not None:
         pl.save(fig, filename)
@@ -400,14 +457,18 @@ def plot_density(model, ax=None, resolution=200, levels=32, filename=None):
 
 
 def plot(model, ax=None, resolution=200, samples=0, filename=None, title=None,
-         bounds=None, n_samples=None, key=None):
+         bounds=None, n_samples=None, key=None, visible_dims=None,
+         fixed_inputs=None):
     """Composite m.plot(): data + mean + confidence (+ samples)
     (gpy_plot/gp_plots.py plot). `bounds`/`n_samples` kept for compatibility
-    with the round-1 plot_gp signature."""
+    with the round-1 plot_gp signature. `visible_dims`/`fixed_inputs` slice
+    higher-D models down to a 1-D section like the reference's
+    helper_for_plot_data (gpy_plot/plot_util.py:103-126)."""
     if n_samples:
         samples = n_samples
     X, _ = _model_xy(model)
-    if X.shape[1] != 1:
+    free, _D = _free_dims(model, visible_dims, fixed_inputs)
+    if len(free) != 1:
         # 2-D (contour) plots keep the round-1 plot_gp renderer
         from .plotting import plot_gp
 
@@ -418,14 +479,15 @@ def plot(model, ax=None, resolution=200, samples=0, filename=None, title=None,
     a = axes[0]
     # one posterior inference for both layers (each used to re-run predict,
     # i.e. a fresh Cholesky per layer for uncached models)
-    xs = _grid_1d(model, resolution, bounds)
+    xs, d0 = _grid_1d(model, resolution, bounds, visible_dims, fixed_inputs)
     mu, sd = _predict_np(model, xs)
-    plot_confidence(model, ax=a, precomputed=(xs, mu, sd))
-    plot_mean(model, ax=a, precomputed=(xs, mu, sd))
+    plot_confidence(model, ax=a, precomputed=(xs[:, d0], mu, sd))
+    plot_mean(model, ax=a, precomputed=(xs[:, d0], mu, sd))
     if samples:
         plot_samples(model, ax=a, resolution=resolution, samples=samples,
-                     bounds=bounds, key=key)
-    plot_data(model, ax=a)
+                     bounds=bounds, key=key, visible_dims=visible_dims,
+                     fixed_inputs=fixed_inputs)
+    plot_data(model, ax=a, visible_dims=(d0,))
     pl.legend(a)
     pl.set_labels(a, xlabel="x", ylabel="f(x)", title=title)
     if filename and fig is not None:
@@ -623,25 +685,26 @@ def plot_steepest_gradient_map(model, output_labels=None, which_indices=None,
 
 
 # -------------------------------------------------- data/kernel plot tail
-def plot_f(model, ax=None, resolution=200, filename=None, bounds=None):
+def plot_f(model, ax=None, resolution=200, filename=None, bounds=None,
+           visible_dims=None, fixed_inputs=None):
     """Latent-function plot: mean and 95% band of p(f*) WITHOUT likelihood
     noise (gpy_plot/gp_plots.py plot_f:357)."""
     import jax.numpy as jnp
 
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
-    xs = _grid_1d(model, resolution, bounds)
+    xs, d0 = _grid_1d(model, resolution, bounds, visible_dims, fixed_inputs)
     if hasattr(model, "predict_noiseless"):
         mu, var = model.predict_noiseless(jnp.asarray(xs))
     else:
         mu, var = model.predict(jnp.asarray(xs), include_likelihood=False)
     mu = np.asarray(mu)[:, 0]
     sd = np.sqrt(np.asarray(var))[:, 0]
-    pl.plot(axes[0], xs[:, 0], mu, label="f mean")
-    pl.fill_between(axes[0], xs[:, 0], mu - 1.96 * sd, mu + 1.96 * sd,
+    pl.plot(axes[0], xs[:, d0], mu, label="f mean")
+    pl.fill_between(axes[0], xs[:, d0], mu - 1.96 * sd, mu + 1.96 * sd,
                     label="f 95%")
     X, Y = _model_xy(model)
-    pl.scatter(axes[0], X[:, 0], Y[:, 0], label="data")
+    pl.scatter(axes[0], X[:, d0], Y[:, 0], label="data")
     pl.legend(axes[0])
     if filename and fig is not None:
         pl.save(fig, filename)

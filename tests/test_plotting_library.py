@@ -212,3 +212,54 @@ def test_latent_plots_reject_1d_latent():
         m.plot_latent_scatter()
     with pytest.raises(ValueError, match="distinct"):
         m.plot_magnification(which_indices=(0, 0))
+
+
+def test_fixed_inputs_helper(rng):
+    """Pinned to GPy/testing/util_tests.py:53-100 (median/mean/zero routines;
+    unfixed dim absent; BayesianGPLVM uses q_mu like NormalPosterior.mean)."""
+    X = rng.standard_normal((10, 3))
+    Y = np.sin(X[:, :1]) + 1e-3 * rng.standard_normal((10, 1))
+    m = GPRegression.create(X, Y, kernel=kern.RBF.create(3), noise_var=0.05)
+    for routine, fn in (("median", np.median), ("mean", np.mean),
+                        ("zero", lambda c: 0.0)):
+        fixed = pl.fixed_inputs(m, [1], fix_routine=routine)
+        assert (0, fn(X[:, 0])) in fixed
+        assert (2, fn(X[:, 2])) in fixed
+        assert not [t for t in fixed if t[0] == 1]
+    with pytest.raises(ValueError, match="fix_routine"):
+        pl.fixed_inputs(m, [1], fix_routine="mode")
+
+    from gaussian_process_optimization_tpu.models.gplvm import BayesianGPLVM
+    b = BayesianGPLVM.create(np.asarray(Y @ np.ones((1, 4))), input_dim=2,
+                             num_inducing=5)
+    fixed = pl.fixed_inputs(b, [0], fix_routine="median")
+    assert fixed == [(1, float(np.median(np.asarray(b.q_mu)[:, 1])))]
+
+
+def test_sliced_plot_family_on_3d_model(rng, tmp_path):
+    """visible_dims + fixed_inputs slice a 3-D model to a 1-D section
+    (gpy_plot/plot_util.py:103-126); without them a 3-D model cannot build a
+    1-D grid and must raise."""
+    X = rng.uniform(-2, 2, (20, 3))
+    Y = np.sin(X[:, :1]) + 0.3 * X[:, 1:2]
+    m = GPRegression.create(X, Y, kernel=kern.RBF.create(3), noise_var=0.05)
+    fixed = pl.fixed_inputs(m, [0], fix_routine="median")
+    for name in ("plot", "plot_mean", "plot_confidence", "plot_samples",
+                 "plot_density", "plot_f"):
+        fn = tmp_path / f"sliced_{name}.png"
+        getattr(m, name)(filename=str(fn), visible_dims=[0],
+                         fixed_inputs=fixed)
+        assert fn.exists() and os.path.getsize(fn) > 1000, name
+    with pytest.raises(ValueError, match="one free dim"):
+        m.plot_mean(visible_dims=[0, 1, 2])
+    # the grid really holds the fixed values: a sliced mean at x1=median must
+    # equal predict() on an explicitly built grid
+    import jax.numpy as jnp
+
+    grid, d0 = pl._grid_1d(m, resolution=7, visible_dims=[0],
+                           fixed_inputs=fixed)
+    assert d0 == 0
+    np.testing.assert_allclose(grid[:, 1], fixed[0][1])
+    np.testing.assert_allclose(grid[:, 2], fixed[1][1])
+    mu, _ = m.predict(jnp.asarray(grid))
+    assert np.all(np.isfinite(np.asarray(mu)))
