@@ -94,6 +94,32 @@ class Kernel:
             f = lambda Xv: jnp.sum(self.K(Xv, X2) * dL_dK)
         return jax.grad(f)(X)
 
+    def d2K_dXdX2_diag(self, x):
+        """Prior mixed second derivative d2k(x1,x2)/dx1 dx2 at x1 == x2 == x,
+        as a (D, D) matrix (D = x.shape[-1]).
+
+        The prior-curvature term of Cov[df/dx] in
+        ``GPRegression.predict_jacobian`` (GPy assembles it from hand-written
+        ``kern.gradients_XX``, stationary.py:108-140). Default: nested
+        forward-mode autodiff of K — exact for kernels smooth at coincident
+        inputs (Linear, Bias, and the K_of_r2 stationary family). The
+        sqrt-family stationary kernels override with the analytic r->0 limit:
+        their K(r(x)) is C^2 only through a cancellation of sqrt terms that
+        safe_sqrt's where-guard hides from AD (nested AD returns 0 there).
+        """
+        import jax
+
+        f = lambda a, b: self.K(a[None, :], b[None, :])[0, 0]
+        return jax.jacfwd(jax.jacfwd(f, argnums=0), argnums=1)(x, x)
+
+    def _grad_X1_at_diag(self, x):
+        """d k(x1, x2)/dx1 at x1 == x2 == x, shape (D,) — first-order AD is
+        exact at the diagonal even for sqrt-family kernels (the guarded sqrt's
+        zero gradient IS the correct limit there)."""
+        import jax
+
+        return jax.jacfwd(lambda a: self.K(a[None, :], x[None, :])[0, 0])(x)
+
 
 @pytree_dataclass
 class Add(Kernel):
@@ -106,6 +132,9 @@ class Add(Kernel):
 
     def Kdiag(self, X):
         return sum(p.Kdiag(X) for p in self.parts)
+
+    def d2K_dXdX2_diag(self, x):
+        return sum(p.d2K_dXdX2_diag(x) for p in self.parts)
 
     def input_sensitivity(self, summarize=True):
         return _combined_sensitivity(self)
@@ -129,6 +158,40 @@ class Prod(Kernel):
         for p in self.parts:
             k = p.Kdiag(X)
             out = k if out is None else out * k
+        return out
+
+    def d2K_dXdX2_diag(self, x):
+        """Product rule at the diagonal: for F = prod_i k_i,
+        d2F/dx1 dx2 = sum_i H_i prod_{j!=i} v_j
+                    + sum_{i!=j} g1_i g2_j^T prod_{l not in {i,j}} v_l,
+        with v_i = k_i(x,x), g1/g2 the first partials at the diagonal
+        (zero for stationary parts, nonzero for e.g. Linear), H_i each part's
+        own d2K_dXdX2_diag (GPy prod.py gradients_XX equivalent)."""
+        import jax
+
+        parts = self.parts
+        v = [p.K(x[None, :], x[None, :])[0, 0] for p in parts]
+        g1 = [p._grad_X1_at_diag(x) for p in parts]
+        g2 = [jax.jacfwd(lambda b, p=p: p.K(x[None, :], b[None, :])[0, 0])(x)
+              for p in parts]
+        H = [p.d2K_dXdX2_diag(x) for p in parts]
+        n = len(parts)
+        out = 0.0
+        for i in range(n):
+            rest = 1.0
+            for j in range(n):
+                if j != i:
+                    rest = rest * v[j]
+            out = out + H[i] * rest
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                rest = 1.0
+                for l in range(n):
+                    if l != i and l != j:
+                        rest = rest * v[l]
+                out = out + jnp.outer(g1[i], g2[j]) * rest
         return out
 
     def input_sensitivity(self, summarize=True):

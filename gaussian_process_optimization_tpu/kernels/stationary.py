@@ -50,7 +50,13 @@ def sq_dist(X, X2=None):
     X1sq = jnp.sum(jnp.square(X), axis=-1)
     X2sq = jnp.sum(jnp.square(X2), axis=-1)
     r2 = -2.0 * _dist_matmul(X, X2.T) + X1sq[:, None] + X2sq[None, :]
-    return jnp.maximum(r2, 0.0)
+    # value == max(r2, 0) but the gradient passes through UNCHANGED: the clamp
+    # only repairs FP cancellation, and jnp.maximum's 50/50 tie gradient at
+    # r2 == 0 would halve d2K/dx1 dx2 exactly at x1 == x2 where
+    # predict_jacobian evaluates it
+    from jax import lax
+
+    return r2 - lax.stop_gradient(jnp.minimum(r2, 0.0))
 
 
 def safe_sqrt(r2):
@@ -103,6 +109,14 @@ class Stationary(Kernel):
     def K_of_r(self, r):
         raise NotImplementedError
 
+    # Kernels that are smooth functions of the SQUARED distance (RBF, RatQuad)
+    # override K_of_r2; K() then skips the sqrt entirely, which both saves the
+    # op and keeps SECOND derivatives exact at r == 0 (safe_sqrt's where-guard
+    # zeroes them, losing the prior curvature d2k/dx dx' = v/l^2 that
+    # predict_jacobian / gradients_XX need — GPy computes those analytically,
+    # stationary.py:108-140).
+    K_of_r2 = None
+
     def dK_dr(self, r):
         import jax
 
@@ -117,6 +131,43 @@ class Stationary(Kernel):
             return safe_sqrt(sq_dist(Xs, X2s))
         return safe_sqrt(sq_dist(X, X2)) / self.lengthscale
 
+    def _scaled_dist2(self, X, X2=None):
+        """r^2 scaled by lengthscale, sqrt-free (for K_of_r2 kernels)."""
+        if self.lengthscale.ndim > 0 and self.lengthscale.shape[-1] > 1:
+            Xs = X / self.lengthscale
+            X2s = None if X2 is None else X2 / self.lengthscale
+            return sq_dist(Xs, X2s)
+        return sq_dist(X, X2) / jnp.square(self.lengthscale)
+
+    def curvature0(self):
+        """-2 * d(K_of_r2)/d(r2) at r2 == 0 (r2 in lengthscale-scaled units):
+        the diagonal curvature d2k/dx_a dx'_a of the kernel at coincident
+        points equals curvature0 / lengthscale_a^2. GPy reaches the same limit
+        inside each kernel's hand-written dK2_drdr (stationary.py:108-140).
+        Derived by AD from K_of_r2 when available; sqrt-family subclasses
+        supply the analytic constant; Exponential/OU are not twice
+        differentiable at r=0 and raise."""
+        import jax
+
+        if self.K_of_r2 is not None:
+            u0 = jnp.zeros((), dtype=jnp.result_type(self.variance, float))
+            return -2.0 * jax.grad(lambda u: self.K_of_r2(u))(u0)
+        raise NotImplementedError(
+            f"{type(self).__name__} has no diagonal curvature "
+            "(not C^2 at r=0, or curvature0 not implemented)")
+
+    def d2K_dXdX2_diag(self, x):
+        """Analytic prior curvature at the diagonal: curvature0/l_a^2 on the
+        kernel's active dims, 0 elsewhere (nested AD through safe_sqrt would
+        silently return 0 for the sqrt-family kernels — see Kernel base)."""
+        c = self.curvature0()
+        vec = jnp.broadcast_to(c / jnp.square(self.lengthscale),
+                               (self.input_dim,))
+        D = x.shape[-1]
+        idx = jnp.asarray(self.active_dims if self.active_dims is not None
+                          else tuple(range(self.input_dim)))
+        return jnp.zeros((D, D), dtype=vec.dtype).at[idx, idx].set(vec)
+
     def K(self, X, X2=None):
         X = self._slice(X)
         X2 = self._slice(X2)
@@ -128,6 +179,8 @@ class Stationary(Kernel):
         # CPU interpret-mode testing of the real kernels
         if pallas_kernels.supports(self, X, X2):
             return pallas_kernels.stationary_K(self, X, X2)
+        if self.K_of_r2 is not None:
+            return self.K_of_r2(self._scaled_dist2(X, X2))
         r = self._scaled_dist(X, X2)
         return self.K_of_r(r)
 
@@ -144,6 +197,9 @@ class RBF(Stationary):
 
     def K_of_r(self, r):
         return self.variance * jnp.exp(-0.5 * jnp.square(r))
+
+    def K_of_r2(self, r2):
+        return self.variance * jnp.exp(-0.5 * r2)
 
     def dK_dr(self, r):
         return -r * self.K_of_r(r)
@@ -189,6 +245,10 @@ class Matern32(Stationary):
     def dK_dr(self, r):
         return -3.0 * self.variance * r * jnp.exp(-jnp.sqrt(3.0) * r)
 
+    def curvature0(self):
+        # k(u) = v(1+sqrt(3u))exp(-sqrt(3u)) = v(1 - (3/2)u + O(u^{3/2}))
+        return 3.0 * self.variance
+
 
 @pytree_dataclass
 class Matern52(Stationary):
@@ -200,6 +260,10 @@ class Matern52(Stationary):
         s5r = jnp.sqrt(5.0) * r
         return self.variance * (1.0 + s5r + 5.0 / 3.0 * jnp.square(r)) * jnp.exp(-s5r)
 
+    def curvature0(self):
+        # k(u) = v(1+sqrt(5u)+5u/3)exp(-sqrt(5u)) = v(1 - (5/6)u + O(u^{3/2}))
+        return 5.0 / 3.0 * self.variance
+
 
 @pytree_dataclass
 class Cosine(Stationary):
@@ -210,6 +274,10 @@ class Cosine(Stationary):
     def K_of_r(self, r):
         return self.variance * jnp.cos(r)
 
+    def curvature0(self):
+        # k(u) = v cos(sqrt(u)) = v(1 - u/2 + O(u^2))
+        return self.variance
+
 
 @pytree_dataclass
 class Sinc(Stationary):
@@ -219,6 +287,10 @@ class Sinc(Stationary):
 
     def K_of_r(self, r):
         return self.variance * jnp.sinc(2.0 * r / jnp.pi)
+
+    def curvature0(self):
+        # k(u) = v sin(2 sqrt(u))/(2 sqrt(u)) = v(1 - (2/3)u + O(u^2))
+        return 4.0 / 3.0 * self.variance
 
 
 @pytree_dataclass
@@ -242,4 +314,7 @@ class RatQuad(Stationary):
     def K_of_r(self, r):
         r2 = jnp.square(r)
         # GPy computes via exp(-power * log1p(r2/2)) for stability
+        return self.variance * jnp.exp(-self.power * jnp.log1p(r2 / 2.0))
+
+    def K_of_r2(self, r2):
         return self.variance * jnp.exp(-self.power * jnp.log1p(r2 / 2.0))

@@ -445,6 +445,138 @@ class GPRegression:
         return plot_gp(self, bounds=bounds, filename=filename, resolution=resolution,
                        n_samples=n_samples, key=key, title=title)
 
+    def predict_quantiles(self, Xnew, quantiles=(2.5, 97.5), noise_at_test=None,
+                          posterior: Posterior | None = None):
+        """Predictive quantiles in percent (GPy gp.py:384 + the Gaussian
+        likelihood's predictive_quantiles = mu + sd * Phi^-1(q/100)). Returns a
+        list of (M, P) arrays, one per requested quantile."""
+        from scipy.stats import norm as _norm
+
+        mu, var = self.predict(Xnew, full_cov=False, include_likelihood=True,
+                               posterior=posterior, noise_at_test=noise_at_test)
+        sd = jnp.sqrt(var)
+        return [mu + float(_norm.ppf(q / 100.0)) * sd for q in quantiles]
+
+    def log_predictive_density(self, x_test, y_test, noise_at_test=None):
+        """Per-point log p(y*|D) under the Gaussian predictive (GPy gp.py:680
+        -> likelihoods log_predictive_density). Computed in original Y units —
+        when a normalizer is active this includes the change-of-variables the
+        reference skips (its _raw_predict feeds normalized-space moments
+        straight to the likelihood); identical when normalizer is None."""
+        y_test = jnp.atleast_2d(jnp.asarray(y_test))
+        mu, var = self.predict(x_test, full_cov=False, include_likelihood=True,
+                               noise_at_test=noise_at_test)
+        return -0.5 * (LOG_2_PI + jnp.log(var) + jnp.square(y_test - mu) / var)
+
+    def log_predictive_density_sampling(self, x_test, y_test, key,
+                                        num_samples=1000, noise_at_test=None):
+        """Monte-Carlo log p(y*|D) = log mean_s p(y*|f_s), f_s ~ p(f*|D)
+        (GPy gp.py:696). Converges to :meth:`log_predictive_density` for the
+        Gaussian likelihood; kept for parity and as an MC cross-check."""
+        y_test = jnp.atleast_2d(jnp.asarray(y_test))
+        mu, var = self._raw_predict(jnp.atleast_2d(x_test), full_cov=False)
+        z = jax.random.normal(key, (mu.shape[0], num_samples), dtype=mu.dtype)
+        f = mu + jnp.sqrt(var) * z  # (M, S) latent samples, normalized space
+        noise = self._noise_at_test(noise_at_test)
+        noise = noise[:, None] if jnp.ndim(noise) == 1 else noise
+        if self.normalizer is not None:
+            f = self.normalizer.inverse_mean(f)
+            noise = self.normalizer.inverse_variance(noise)
+        lp = -0.5 * (LOG_2_PI + jnp.log(noise)
+                     + jnp.square(y_test - f) / noise)  # (M, S)
+        from jax.scipy.special import logsumexp
+
+        return logsumexp(lp, axis=1, keepdims=True) - jnp.log(num_samples)
+
+    def posterior_covariance_between_points(self, X1, X2,
+                                            posterior: Posterior | None = None):
+        """K(X1,X2) - K(X,X1)^T Ky^-1 K(X,X2) (GPy gp.py:714 ->
+        posterior.covariance_between_points). Normalized (latent) space like
+        the reference, which applies no un-normalization here either."""
+        post = posterior if posterior is not None else self.inference()
+        X1, X2 = jnp.atleast_2d(X1), jnp.atleast_2d(X2)
+        Kx1, Kx2 = self.kern.K(self.X, X1), self.kern.K(self.X, X2)
+        if self.mask is not None:
+            Kx1 = Kx1 * self.mask[:, None]
+            Kx2 = Kx2 * self.mask[:, None]
+        if post.Li is not None:
+            t1, t2 = post.Li @ Kx1, post.Li @ Kx2
+        else:
+            t1 = linalg.solve_lower(post.L, Kx1)
+            t2 = linalg.solve_lower(post.L, Kx2)
+        return self.kern.K(X1, X2) - t1.T @ t2
+
+    def predict_jacobian(self, Xnew, posterior: Posterior | None = None):
+        """Mean and covariance of the DERIVATIVE of the posterior GP (GPy
+        gp.py:456 — not the derivative of the predictive moments, which is
+        :meth:`predictive_gradients`). Returns (mean_jac (M, D, P),
+        var_jac (M, D, D)): per test point, E[df/dx] and Cov[df/dx] =
+        d2k/dx dx' - (dKx/dx)^T Ky^-1 (dKx/dx'). The prior curvature term is
+        the kernel's analytic diagonal limit (``kern.d2K_dXdX2_diag`` —
+        nested AD through the guarded sqrt silently returns 0 for Matern-type
+        kernels); the data-fit term is smooth at generic test points and comes
+        from nested forward-mode autodiff (replacing kern.gradients_XX).
+        Normalized space like the reference."""
+        post = posterior if posterior is not None else self.inference()
+        mask = self.mask
+
+        def post_mean(x):  # (D,) -> (P,)
+            kx = self.kern.K(self.X, x[None, :])
+            if mask is not None:
+                kx = kx * mask[:, None]
+            return (kx.T @ post.alpha)[0]
+
+        def data_term(x1, x2):  # (dKx/dx1)^T Ky^-1 (dKx/dx2) scalar kernel
+            k1 = self.kern.K(self.X, x1[None, :])
+            k2 = self.kern.K(self.X, x2[None, :])
+            if mask is not None:
+                k1, k2 = k1 * mask[:, None], k2 * mask[:, None]
+            t1 = linalg.solve_lower(post.L, k1)
+            t2 = linalg.solve_lower(post.L, k2)
+            return (t1.T @ t2)[0, 0]
+
+        Xnew = jnp.atleast_2d(Xnew)
+        mean_jac = jax.vmap(jax.jacfwd(post_mean))(Xnew)  # (M, P, D)
+        d2 = jax.jacfwd(jax.jacfwd(data_term, argnums=0), argnums=1)
+        var_jac = jax.vmap(
+            lambda x: self.kern.d2K_dXdX2_diag(x) - d2(x, x))(Xnew)  # (M, D, D)
+        return jnp.swapaxes(mean_jac, 1, 2), var_jac
+
+    def predict_wishart_embedding(self, Xnew, mean=True, covariance=True,
+                                  posterior: Posterior | None = None):
+        """Expected metric G = J_mu^T J_mu + P * Cov[J] of the probabilistic
+        mapping (GPy gp.py:521). (M, D, D)."""
+        mean_jac, var_jac = self.predict_jacobian(Xnew, posterior=posterior)
+        G = jnp.zeros_like(var_jac)
+        if mean:
+            G = G + jnp.einsum("idp,iep->ide", mean_jac, mean_jac)
+        if covariance:
+            G = G + self.Y.shape[1] * var_jac
+        return G
+
+    def predict_magnification(self, Xnew, mean=True, covariance=True,
+                              dimensions=None,
+                              posterior: Posterior | None = None):
+        """sqrt(det(G)) per test point over the two most ARD-significant input
+        dims (GPy gp.py:556)."""
+        G = self.predict_wishart_embedding(Xnew, mean=mean,
+                                           covariance=covariance,
+                                           posterior=posterior)
+        if dimensions is None:
+            import numpy as _np
+
+            try:
+                rel = _np.asarray(self.kern.input_sensitivity()).reshape(-1)
+            except Exception:
+                rel = _np.ones(G.shape[1])
+            dimensions = tuple(_np.argsort(rel)[::-1][:2].tolist())
+        dims = jnp.asarray(dimensions, dtype=int)
+        Gs = G[:, dims][:, :, dims]
+        # det clamped at 0: G is PSD in exact arithmetic but f32 cancellation
+        # (prior minus data term, both ~variance/l^2 scale) can leave a tiny
+        # negative det; sqrt of that would be NaN
+        return jnp.sqrt(jnp.maximum(jnp.linalg.det(Gs), 0.0))
+
     def log_likelihood_LOO(self):
         """Leave-one-out predictive density (exact_gaussian_inference.py LOO:77)."""
         post = self.inference()
