@@ -117,5 +117,43 @@ class GPLaplace:
     def predict_latent(self, Xnew):
         return self._raw_predict(Xnew)
 
+    def predict_quantiles(self, Xnew, quantiles=(2.5, 97.5), key=None,
+                          posterior: LaplacePosterior | None = None):
+        """Predictive quantiles through the likelihood (GPy gp.py:384 ->
+        likelihood.predictive_quantiles; sampling fallback for the
+        non-Gaussian zoo). Percent units; list of (M, 1) arrays."""
+        mu, var = self._raw_predict(Xnew, posterior)
+        return self.likelihood.predictive_quantiles(mu, var, quantiles, key=key)
+
+    def log_predictive_density(self, x_test, y_test, gh_points=32):
+        """Per-point log p(y*|D) by quadrature over the latent Laplace
+        marginal (GPy gp.py:680 -> likelihood.log_predictive_density)."""
+        mu, var = self._raw_predict(jnp.atleast_2d(x_test))
+        y = jnp.asarray(y_test, dtype=float).reshape(-1)
+        return self.likelihood.log_predictive_density(y, mu, var,
+                                                      gh_points=gh_points)
+
+    def posterior_samples(self, Xnew, size, key, full_cov=False):
+        """Observation samples: latent draws corrupted through the likelihood
+        (GPy gp.py posterior_samples:611 -> likelihood.samples). (M, size)."""
+        import jax
+
+        kf, ky = jax.random.split(key)
+        Xnew = jnp.atleast_2d(Xnew)
+        post = self.inference()
+        mu, var = self._raw_predict(Xnew, post)
+        z = jax.random.normal(kf, (Xnew.shape[0], size), dtype=mu.dtype)
+        if full_cov:
+            Ks = self.kern.K(self.X, Xnew)
+            sW = jnp.sqrt(post.W)
+            v = linalg.solve_lower(post.L, sW[:, None] * Ks)
+            cov = self.kern.K(Xnew) - v.T @ v
+            cov = cov + 1e-10 * jnp.eye(cov.shape[0], dtype=cov.dtype)
+            Lc, _, _ = linalg.jitchol(cov)
+            f = mu[:, None] + Lc @ z
+        else:
+            f = mu[:, None] + jnp.sqrt(var)[:, None] * z
+        return self.likelihood.samples(f, ky)
+
 
 GPClassification = GPLaplace  # Bernoulli default == GPy GPClassification

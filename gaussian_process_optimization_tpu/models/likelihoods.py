@@ -50,6 +50,39 @@ class Likelihood:
     def conditional_variance(self, f):
         raise NotImplementedError
 
+    def samples(self, f, key):
+        """One observation draw y ~ p(y|f) per latent entry, same shape as f
+        (GPy likelihoods/likelihood.py samples:769 — there via numpy RNG)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement observation sampling")
+
+    def predictive_quantiles(self, mu, var, quantiles, key=None, n_samples=300):
+        """Sampling-based predictive quantiles (GPy likelihood.py:757-766):
+        draw latent f_s ~ N(mu, var), corrupt through ``samples``, take
+        percentiles. quantiles are in PERCENT; returns a list of (N, 1)
+        arrays. Gaussian-family subclasses override with the closed form."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        mu = jnp.asarray(mu).reshape(-1)
+        var = jnp.asarray(var).reshape(-1)
+        kf, ky = jax.random.split(key)
+        f = mu[:, None] + jnp.sqrt(var)[:, None] * jax.random.normal(
+            kf, (mu.shape[0], n_samples), dtype=mu.dtype)
+        y = self.samples(f, ky)
+        return [jnp.percentile(y, q, axis=1)[:, None] for q in quantiles]
+
+    def log_predictive_density(self, y, mu, var, gh_points=32):
+        """log p(y*|D) = log int p(y*|f) N(f; mu, var) df by Gauss-Hermite in
+        log space (GPy likelihood.py log_predictive_density quadrature path)."""
+        from jax.scipy.special import logsumexp
+
+        gh_x, gh_w = np.polynomial.hermite.hermgauss(gh_points)
+        gh_x = jnp.asarray(gh_x)
+        log_w = jnp.log(jnp.asarray(gh_w)) - 0.5 * jnp.log(jnp.pi)
+        f = mu[..., None] + jnp.sqrt(2.0 * var[..., None]) * gh_x
+        lp = self.logpdf(f, jnp.asarray(y)[..., None])
+        return logsumexp(lp + log_w, axis=-1)
+
     def moments_match_ep(self, y, tau_cav, v_cav, gh_points=32):
         """EP moment matching against the cavity N(v/tau, 1/tau): returns
         (log Z_hat, mu_hat, sigma2_hat) — the quadrature fallback of GPy
@@ -101,6 +134,23 @@ class GaussianLik(Likelihood):
     def conditional_variance(self, f):
         return jnp.broadcast_to(self.variance, f.shape)
 
+    def samples(self, f, key):
+        return f + jnp.sqrt(self.variance) * jax.random.normal(key, f.shape,
+                                                               dtype=f.dtype)
+
+    def predictive_quantiles(self, mu, var, quantiles, key=None, n_samples=None):
+        """Closed form (GPy gaussian.py predictive_quantiles): mu + ppf * sd
+        with sd over latent var + noise."""
+        from jax.scipy.special import ndtri
+
+        mu = jnp.asarray(mu).reshape(-1, 1)
+        sd = jnp.sqrt(jnp.asarray(var).reshape(-1, 1) + self.variance)
+        return [mu + ndtri(q / 100.0) * sd for q in quantiles]
+
+    def log_predictive_density(self, y, mu, var, gh_points=None):
+        tot = var + self.variance
+        return -0.5 * (jnp.log(2 * jnp.pi * tot) + jnp.square(y - mu) / tot)
+
     def moments_match_ep(self, y, tau_cav, v_cav, gh_points=None):
         """Exact Gaussian-site moments (GPy gaussian.py moments_match_ep):
         tilted = N(y | f, sigma2) N(f | mu_cav, s2_cav)."""
@@ -148,6 +198,9 @@ class Bernoulli(Likelihood):
         p = 0.5 * erfc(-(mu / jnp.sqrt(1.0 + var)) / jnp.sqrt(2.0))
         return p, p * (1 - p)
 
+    def samples(self, f, key):
+        return jax.random.bernoulli(key, self.conditional_mean(f)).astype(f.dtype)
+
     def moments_match_ep(self, y, tau_cav, v_cav, gh_points=None):
         """Exact probit moments (GPML 3.58-3.59 / GPy bernoulli.py moments_match_ep)."""
         ypm = jnp.where(y > 0, 1.0, -1.0)
@@ -181,6 +234,9 @@ class Poisson(Likelihood):
 
     def conditional_variance(self, f):
         return jnp.exp(f)
+
+    def samples(self, f, key):
+        return jax.random.poisson(key, jnp.exp(f), f.shape).astype(f.dtype)
 
 
 @pytree_dataclass
@@ -220,6 +276,10 @@ class StudentT(Likelihood):
     def conditional_variance(self, f):
         return jnp.broadcast_to(self.deg_free / (self.deg_free - 2) * self.sigma2, f.shape)
 
+    def samples(self, f, key):
+        return f + jnp.sqrt(self.sigma2) * jax.random.t(key, self.deg_free,
+                                                        f.shape, dtype=f.dtype)
+
 
 @pytree_dataclass
 class Binomial(Likelihood):
@@ -254,6 +314,10 @@ class Binomial(Likelihood):
         p = self._p(f)
         return self._n(f) * p * (1 - p)
 
+    def samples(self, f, key):
+        n = jnp.broadcast_to(self._n(f), f.shape)
+        return jax.random.binomial(key, n, self._p(f)).astype(f.dtype)
+
 
 @pytree_dataclass
 class GammaLik(Likelihood):
@@ -277,6 +341,11 @@ class GammaLik(Likelihood):
     def conditional_variance(self, f):
         return jnp.exp(2 * f) / self.beta
 
+    def samples(self, f, key):
+        # y ~ Gamma(shape=beta, rate=beta e^-f)  =>  y = Gamma(beta) * e^f / beta
+        g = jax.random.gamma(key, jnp.broadcast_to(self.beta, f.shape), dtype=f.dtype)
+        return g * jnp.exp(f) / self.beta
+
 
 @pytree_dataclass
 class ExponentialLik(Likelihood):
@@ -296,6 +365,9 @@ class ExponentialLik(Likelihood):
 
     def conditional_variance(self, f):
         return jnp.exp(2 * f)
+
+    def samples(self, f, key):
+        return jax.random.exponential(key, f.shape, dtype=f.dtype) * jnp.exp(f)
 
 
 @pytree_dataclass
@@ -323,6 +395,10 @@ class HeteroscedasticGaussian(Likelihood):
 
     def conditional_variance(self, f):
         return jnp.broadcast_to(self.variances.reshape(f.shape), f.shape)
+
+    def samples(self, f, key):
+        v = self.variances.reshape((-1,) + (1,) * (f.ndim - 1))
+        return f + jnp.sqrt(v) * jax.random.normal(key, f.shape, dtype=f.dtype)
 
 
 # --------------------------------------------------------------------------- links
@@ -454,6 +530,12 @@ class Weibull(LinkedLikelihood):
         m2 = jnp.exp(gammaln(1.0 + 2.0 / self.r))
         return jnp.power(lam, 2.0 / self.r) * (m2 - m1**2)
 
+    def samples(self, f, key):
+        # CDF(y) = 1 - exp(-y^r/lam)  =>  y = (lam * E)^(1/r), E ~ Exp(1)
+        lam = self.gp_link.transf(f)
+        e = jax.random.exponential(key, f.shape, dtype=f.dtype)
+        return jnp.power(lam * e, 1.0 / self.r)
+
 
 @pytree_dataclass
 class LogGaussian(LinkedLikelihood):
@@ -489,6 +571,11 @@ class LogGaussian(LinkedLikelihood):
     def conditional_variance(self, f):
         lam = self.gp_link.transf(f)
         return jnp.expm1(self.variance) * jnp.exp(2 * lam + self.variance)
+
+    def samples(self, f, key):
+        lam = self.gp_link.transf(f)
+        z = jax.random.normal(key, f.shape, dtype=f.dtype)
+        return jnp.exp(lam + jnp.sqrt(self.variance) * z)
 
 
 @pytree_dataclass
@@ -527,6 +614,13 @@ class LogLogistic(LinkedLikelihood):
         lam = self.gp_link.transf(f)
         b = jnp.pi / self.r
         return jnp.square(lam) * (2 * b / jnp.sin(2 * b) - jnp.square(b / jnp.sin(b)))
+
+    def samples(self, f, key):
+        # CDF(y) = (y/lam)^r / (1 + (y/lam)^r)  =>  y = lam (u/(1-u))^(1/r)
+        lam = self.gp_link.transf(f)
+        u = jax.random.uniform(key, f.shape, dtype=f.dtype,
+                               minval=1e-7, maxval=1.0 - 1e-7)
+        return lam * jnp.power(u / (1.0 - u), 1.0 / self.r)
 
 
 @pytree_dataclass

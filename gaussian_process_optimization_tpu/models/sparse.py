@@ -204,6 +204,17 @@ class SparseGPRegression:
                    else self.normalizer.inverse_variance(var))
         return mu, var
 
+    def predict_quantiles(self, Xnew, quantiles=(2.5, 97.5),
+                          posterior: SparsePosterior | None = None):
+        """Gaussian predictive quantiles in percent (GPy gp.py:384 inherited
+        by SparseGP). List of (M, P) arrays."""
+        from jax.scipy.special import ndtri
+
+        mu, var = self.predict(Xnew, full_cov=False, include_likelihood=True,
+                               posterior=posterior)
+        sd = jnp.sqrt(var)
+        return [mu + ndtri(q / 100.0) * sd for q in quantiles]
+
     def predictive_gradients(self, Xnew, posterior: SparsePosterior | None = None):
         post = posterior if posterior is not None else self.inference_state()
 

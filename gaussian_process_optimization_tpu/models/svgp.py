@@ -148,6 +148,31 @@ class SVGP:
                 var = var + self.likelihood_variance
         return mu, var
 
+    def predict_quantiles(self, Xnew, quantiles=(2.5, 97.5), key=None):
+        """Predictive quantiles through the model's likelihood (GPy core
+        svgp.py inherits gp.py:384 -> likelihood.predictive_quantiles — the
+        Gaussian closed form, or the sampling fallback for the non-Gaussian
+        zoo). Percent units; list of (M, 1) arrays."""
+        mu, var = self._predict_f(jnp.atleast_2d(Xnew), full_cov=False)
+        lik = self.likelihood
+        if lik is None:
+            from .likelihoods import GaussianLik
+
+            lik = GaussianLik(variance=self.likelihood_variance)
+        return lik.predictive_quantiles(mu[:, 0], var[:, 0], quantiles, key=key)
+
+    def log_predictive_density(self, x_test, y_test, gh_points=32):
+        """Per-point log p(y*|D) through the likelihood (GPy gp.py:680)."""
+        mu, var = self._predict_f(jnp.atleast_2d(x_test), full_cov=False)
+        y = jnp.atleast_2d(jnp.asarray(y_test))
+        lik = self.likelihood
+        if lik is None:
+            from .likelihoods import GaussianLik
+
+            lik = GaussianLik(variance=self.likelihood_variance)
+        return lik.log_predictive_density(y[:, 0], mu[:, 0], var[:, 0],
+                                          gh_points=gh_points)[:, None]
+
 
 def make_svgp_train_step(optimizer=None, learning_rate=1e-2):
     """Jitted Adam step on -(ELBO). Returns (step_fn, init_fn) working on the

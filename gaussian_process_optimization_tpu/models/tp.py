@@ -77,3 +77,15 @@ class TPRegression:
             return mu, scale * linalg.symmetrify(cov)
         var = jnp.clip(self.kern.Kdiag(Xnew) - jnp.sum(jnp.square(tmp), 0), 1e-15, None)
         return mu, (scale * var)[:, None]
+
+    def predict_quantiles(self, Xnew, quantiles=(2.5, 97.5)):
+        """Student-t predictive quantiles (tp_regression.py:232-251):
+        mu + t_ppf(q/100, df) * sqrt(var) with df = nu_effective + N. GPy
+        parametrizes deg_free as nu_eff - 2 (it passes self.nu + 2 into
+        inference, tp_regression.py:164) — ours IS nu_eff, so df = nu + N."""
+        from scipy.stats import t as _t
+
+        mu, var = self.predict(Xnew, full_cov=False)
+        df = float(self.deg_free) + self.X.shape[0]
+        sd = jnp.sqrt(var)
+        return [mu + float(_t.ppf(q / 100.0, df)) * sd for q in quantiles]

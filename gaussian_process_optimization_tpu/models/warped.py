@@ -171,6 +171,24 @@ class WarpedGP:
         second = jnp.sum(gh_w * jnp.square(y), axis=-1)
         return mean, jnp.maximum(second - jnp.square(mean), 1e-15)
 
+    def predict_quantiles(self, Xnew, quantiles=(2.5, 97.5), posterior=None):
+        """Gaussian quantiles in WARPED space, un-warped through f_inv
+        (warped_gp.py predict_quantiles:118-131 — quantiles commute with the
+        monotone inverse warp, unlike the mean). Percent units."""
+        gp_z, post = self._posterior() if posterior is None else posterior
+        qs = gp_z.predict_quantiles(jnp.atleast_2d(Xnew), quantiles=quantiles,
+                                    posterior=post)
+        return [self.warp.f_inv(q) for q in qs]
+
+    def log_predictive_density(self, x_test, y_test):
+        """log p(y*|D) = latent Gaussian density at f(y*) plus the warp's
+        log-Jacobian (warped_gp.py log_predictive_density:143-160)."""
+        gp_z, post = self._posterior()
+        y = jnp.atleast_2d(jnp.asarray(y_test, dtype=float))
+        fy = self.warp.f(y[:, 0])[:, None]
+        lpd = gp_z.log_predictive_density(jnp.atleast_2d(x_test), fy)
+        return lpd + jnp.log(self.warp.fgrad_y(y[:, 0]))[:, None]
+
     def predictive_gradients(self, Xnew):
         """(dmu (M, D, 1), dvar (M, D)) — GPy gp.py:407 shape convention."""
         def mu_var(x):
