@@ -41,6 +41,30 @@ def icm_kernel(input_dim, num_outputs, base_kernel=None, rank=1, W=None, kappa=N
     return base * coreg
 
 
+def lcm_kernel(input_dim, num_outputs, base_kernels, rank=1):
+    """Linear coregionalization model: sum of ICM terms, one per base kernel,
+    each with its own coregionalization matrix (GPy util/multioutput.LCM:62)."""
+    parts = [icm_kernel(input_dim, num_outputs, base_kernel=k, rank=rank)
+             for k in base_kernels]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def private_kernel(input_dim, num_outputs, base_kernel=None, output=0, kappa=1.0):
+    """Output-private ICM term: W = 0 and kappa one-hot at `output`, so the
+    base kernel contributes ONLY to that output's block
+    (GPy util/multioutput.Private:82 — which fixes B.W to 0 and zeroes the
+    other kappas). To keep it private under fitting, pass
+    fix=("W", "kappa") through the fitter."""
+    W = np.zeros((num_outputs, 1))
+    kap = np.zeros((num_outputs,))
+    kap[output] = float(kappa)
+    return icm_kernel(input_dim, num_outputs, base_kernel=base_kernel, rank=1,
+                      W=W, kappa=kap)
+
+
 class GPCoregionalizedRegression:
     """Convenience wrapper (GPy models/gp_coregionalized_regression.py): fit one GP
     over the stacked data with an ICM kernel; predict(X, task)."""

@@ -111,3 +111,33 @@ def test_md_optimize_improves(rng):
     md.optimize(num_restarts=1, maxiter=60)
     after = float(md.log_marginal_likelihood())
     assert after >= before - 1e-6
+
+
+def test_lcm_and_private_kernels(rng):
+    """LCM = sum of per-kernel ICM blocks; Private contributes only to its
+    output's block (GPy util/multioutput.py LCM:62, Private:82)."""
+    import gaussian_process_optimization_tpu.kernels as kern
+    from gaussian_process_optimization_tpu.models.multioutput import (
+        build_stacked_XY, icm_kernel, lcm_kernel, private_kernel)
+
+    X_list = [rng.uniform(-1, 1, (6, 2)), rng.uniform(-1, 1, (5, 2))]
+    Y_list = [rng.standard_normal((6, 1)), rng.standard_normal((5, 1))]
+    X, _ = build_stacked_XY(X_list, Y_list)
+    X = jnp.asarray(X)
+
+    k1 = kern.RBF.create(2)
+    k2 = kern.Matern32.create(2)
+    lcm = lcm_kernel(2, 2, [k1, k2])
+    K_lcm = np.asarray(lcm.K(X))
+    K_sum = np.asarray(icm_kernel(2, 2, base_kernel=k1).K(X)) \
+        + np.asarray(icm_kernel(2, 2, base_kernel=k2).K(X))
+    np.testing.assert_allclose(K_lcm, K_sum, rtol=1e-10)
+
+    priv = private_kernel(2, 2, base_kernel=k1, output=1, kappa=0.7)
+    K_priv = np.asarray(priv.K(X))
+    # output-0 block (first 6 rows/cols) must be exactly zero
+    np.testing.assert_allclose(K_priv[:6, :6], 0.0, atol=1e-12)
+    np.testing.assert_allclose(K_priv[:6, 6:], 0.0, atol=1e-12)
+    # output-1 block = kappa * base kernel on those inputs
+    base = np.asarray(k1.K(jnp.asarray(np.asarray(X)[6:, :2])))
+    np.testing.assert_allclose(K_priv[6:, 6:], 0.7 * base, rtol=1e-8)
