@@ -77,3 +77,16 @@ def test_latent_plots_and_clustering_example(tmp_path, monkeypatch):
         assert (tmp_path / f).exists(), f
     assert np.isfinite(rec) and np.isfinite(loc_err)
     assert sorted(sorted(g) for g in groups) == [[0, 1], [2, 3]]
+
+
+@pytest.mark.slow
+def test_uncertainty_quantification_example():
+    from examples import uncertainty_quantification
+
+    m, mt, mw, sv = uncertainty_quantification.main()
+    Xs = np.linspace(-2, 2, 5)[:, None]
+    lo, hi = m.predict_quantiles(Xs)
+    tlo, thi = mt.predict_quantiles(Xs)
+    # the TP's t-ppf bands are strictly wider than the GP's Gaussian bands
+    # at matched moments (White kernel matches the noise floor)
+    assert np.all(np.asarray(thi - tlo) > np.asarray(hi - lo))
