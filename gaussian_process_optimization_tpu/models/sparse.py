@@ -36,6 +36,29 @@ class SparsePosterior:
     ok: jnp.ndarray = None
 
 
+def kmm_init(X, m=10, rng=None):
+    """Kmeans++-style inducing-point initialization (GPy util/misc.py:96
+    kmm_init): pick a random seed point, then sample each next point with
+    probability proportional to squared distance. Faithful to the reference,
+    including its quirk of weighting by distance to the LAST chosen point
+    only (true kmeans++ uses the min over all chosen); `rng` is an explicit
+    numpy Generator instead of global state."""
+    import numpy as np
+
+    rng = np.random.default_rng() if rng is None else rng
+    X = np.atleast_2d(np.asarray(X, dtype=float))
+    XXT = X @ X.T
+    D = -2.0 * XXT + np.diag(XXT)[:, None] + np.diag(XXT)[None, :]
+    s = int(rng.permutation(X.shape[0])[0])
+    chosen = [s]
+    prob = D[s] / D[s].sum()
+    for _ in range(m - 1):
+        s = int(rng.multinomial(1, prob.ravel()).argmax())
+        chosen.append(s)
+        prob = D[s] / D[s].sum()
+    return X[np.asarray(chosen)]
+
+
 @pytree_dataclass
 class SparseGPRegression:
     kern: Kernel = None

@@ -152,3 +152,27 @@ def test_vardtc_missing_data(rng):
                                        noise_var=0.05)
         ref += float(mp.log_marginal_likelihood())
     np.testing.assert_allclose(val, ref, rtol=1e-8)
+
+
+def test_kmm_init(rng):
+    """kmm_init (GPy util/misc.py:96): returns m rows of X and, with
+    distance-squared sampling, reliably covers well-separated clusters
+    (a plain random subset of 3 from 90 points misses one cluster ~30% of
+    the time; note the faithful quirk — sampling may re-pick a point, so
+    no min-pairwise-distance guarantee exists)."""
+    import numpy as np
+    from gaussian_process_optimization_tpu.models.sparse import kmm_init
+
+    X = np.vstack([rng.normal(c, 0.05, (30, 2)) for c in (-3, 0, 3)])
+    Z = kmm_init(X, m=6, rng=np.random.default_rng(0))
+    assert Z.shape == (6, 2)
+    # every row is an actual data row
+    d = np.linalg.norm(Z[:, None, :] - X[None], axis=-1).min(1)
+    np.testing.assert_allclose(d, 0, atol=1e-12)
+
+    def clusters_hit(A):
+        return len(set(np.round(A[:, 0] / 3).astype(int).tolist()))
+
+    r = np.random.default_rng(1)
+    hits = [clusters_hit(kmm_init(X, 6, rng=r)) for _ in range(30)]
+    assert np.mean(hits) > 2.5, hits
