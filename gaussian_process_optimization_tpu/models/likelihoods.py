@@ -666,6 +666,10 @@ class MixedNoise(Likelihood):
         v = self.gaussian_variance().reshape(mu.shape)
         return mu, var + v
 
+    def samples(self, f, key):
+        v = self.gaussian_variance().reshape((-1,) + (1,) * (f.ndim - 1))
+        return f + jnp.sqrt(v) * jax.random.normal(key, f.shape, dtype=f.dtype)
+
 
 @pytree_dataclass
 class MultioutputLikelihood(Likelihood):
@@ -728,6 +732,14 @@ class MultioutputLikelihood(Likelihood):
 
     def conditional_variance(self, f):
         return self._select([l.conditional_variance(f) for l in self.likelihoods], f)
+
+    def samples(self, f, key):
+        """Row-wise dispatch of the sub-likelihoods' samplers (branchless:
+        every sub-likelihood samples the full array with its own key-split,
+        rows selected by index — multioutput_likelihood.py samples)."""
+        keys = jax.random.split(key, len(self.likelihoods))
+        outs = [l.samples(f, k) for l, k in zip(self.likelihoods, keys)]
+        return self._select(outs, f)
 
     def gaussian_variance(self):
         """Per-row noise when ALL sub-likelihoods are Gaussian — the exact-

@@ -182,3 +182,20 @@ def test_laplace_quantiles_and_samples(rng):
     np.testing.assert_allclose(s.mean(1), np.asarray(p), atol=0.02)
     s_full = np.asarray(m.posterior_samples(Xs[:4], 50, KEY, full_cov=True))
     assert s_full.shape == (4, 50) and set(np.unique(s_full)) <= {0.0, 1.0}
+
+
+def test_mixed_and_multioutput_samples():
+    """Row-wise sampler dispatch: per-row moments match the row's own
+    likelihood (mixed_noise.py + multioutput_likelihood.py samples)."""
+    f0 = jnp.asarray([[0.5], [0.5], [1.0]])
+    f = jnp.broadcast_to(f0, (3, 50000))
+    mixed = lik.MixedNoise.create([0.1, 0.9], [0, 1, 0])
+    y = np.asarray(mixed.samples(f, KEY))
+    np.testing.assert_allclose(y.var(1), [0.1, 0.9, 0.1], rtol=0.08)
+    mo = lik.MultioutputLikelihood.create(
+        [lik.GaussianLik.create(0.2), lik.Poisson()], [0, 1, 1])
+    y = np.asarray(mo.samples(f, KEY))
+    np.testing.assert_allclose(y.mean(1), [0.5, np.exp(0.5), np.exp(1.0)],
+                               rtol=0.05)
+    np.testing.assert_allclose(y.var(1), [0.2, np.exp(0.5), np.exp(1.0)],
+                               rtol=0.1)
