@@ -227,7 +227,7 @@ def test_bo_cost_model_evaluation_time():
     assert bo.Y.shape[0] == 7
     assert bo.cost.cost_type == "evaluation_time"
     c, dc = bo.cost.cost_withGradients(np.array([[0.5]]))
-    assert c.shape == (1, 1) and float(c) > 0
+    assert c.shape == (1, 1) and float(c[0, 0]) > 0
 
 
 def test_bo_bandit_space():
