@@ -47,6 +47,9 @@ def pytest_configure(config):
 # Matched by 'file::function' so parametrized variants inherit the mark.
 _SLOW = {
     "test_bo.py::test_bo_ask_tell",
+    "test_bo_general.py::test_get_moments_and_d_moments",
+    "test_bo_general.py::test_integrated_acquisition_delegates",
+    "test_likelihood_quantiles.py::test_laplace_quantiles_and_samples",
     "test_bo.py::test_bo_cost_model_evaluation_time",
     "test_bo.py::test_bo_forrester_sequential_ei",
     "test_bo.py::test_bo_maximize",
