@@ -43,6 +43,30 @@ def _enable_compile_cache():
 
 _enable_compile_cache()
 
+
+def _tunnel_guard():
+    """Fail fast if the TPU tunnel relay is dead (CLAUDE.md hazards): with the
+    ambient axon platform and port 8083 gone, the first jax device call blocks
+    forever on TCP recv — which would hang the whole bench run instead of
+    reporting a diagnosable error."""
+    import os
+    import socket
+
+    if os.environ.get("JAX_PLATFORMS", "axon") != "axon":
+        return
+    try:
+        s = socket.create_connection(("127.0.0.1", 8083), timeout=2.0)
+        s.close()
+    except OSError:
+        print(json.dumps({
+            "metric": "BO iteration wall-clock @ N=4096",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": "TPU tunnel down (port 8083 not listening); bench "
+                     "requires the axon relay — re-run when it returns",
+        }))
+        sys.exit(3)
+
+
 N = 4096
 D = 6
 FIT_RESTARTS = 5
@@ -256,6 +280,7 @@ def run_baseline():
 
 
 def main():
+    _tunnel_guard()
     ours_fit, ours_acq = run_ours()
     base_fit, base_acq, base_detail = run_baseline()
     ours = ours_fit + ours_acq
