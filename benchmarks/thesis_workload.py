@@ -47,7 +47,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 if {cpu}:
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_enable_x64", {x64})
 import numpy as np
 from gaussian_process_optimization_tpu.bo.methods import BayesianOptimization
 from gaussian_process_optimization_tpu.bo.space import DesignSpace
@@ -128,9 +128,9 @@ print("RESULT::" + json.dumps(out))
 """
 
 
-def run_backend(cpu):
-    code = CHILD.format(root=str(ROOT), cpu=cpu, seeds=SEEDS, iters=ITERS,
-                        batch=BATCH)
+def run_backend(cpu, x64=True):
+    code = CHILD.format(root=str(ROOT), cpu=cpu, x64=x64, seeds=SEEDS,
+                        iters=ITERS, batch=BATCH)
     res = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=4 * 3600)
     for line in res.stdout.splitlines():
@@ -158,6 +158,7 @@ def iqr(v):
 def report(raw):
     tpu_b = np.asarray(raw["tpu"]["batch"])
     cpu_b = np.asarray(raw["cpu"]["batch"])
+    f32_b = np.asarray(raw["cpu_f32"]["batch"]) if "cpu_f32" in raw else None
     lo_t, hi_t = iqr(tpu_b)
     lo_c, hi_c = iqr(cpu_b)
     # strict IQR overlap is brittle when a backend's seeds all collapse to the
@@ -187,6 +188,16 @@ def report(raw):
         f"- TPU f32: median {np.median(tpu_b):.4f}, IQR [{lo_t:.4f}, {hi_t:.4f}] — "
         f"seeds: {[round(v, 4) for v in sorted(tpu_b)]}",
         f"- IQRs overlap: **{overlap}**",
+    ]
+    if f32_b is not None:
+        lo_f, hi_f = iqr(f32_b)
+        lines += [
+            f"- CPU f32 control (same pipeline, host CPU at f32 — isolates "
+            f"precision from hardware): median {np.median(f32_b):.4f}, "
+            f"IQR [{lo_f:.4f}, {hi_f:.4f}] — "
+            f"seeds: {[round(v, 4) for v in sorted(f32_b)]}",
+        ]
+    lines += [
         "",
         "## Pool-selection agreement (TPU f32 vs CPU f64)",
         "",
@@ -207,14 +218,18 @@ def main():
     raw = {}
     if RAW.exists() and not fresh:
         raw = json.loads(RAW.read_text())
-    for name, cpu in (("cpu", True), ("tpu", False)):
-        if only and name != only:
+    # cpu_f32 is an optional precision-sensitivity control (same pipeline on
+    # host CPU at f32): isolates "f32 vs f64" from "TPU vs CPU", and stands in
+    # as interim evidence when the TPU tunnel is down.
+    for name, cpu, x64 in (("cpu", True, True), ("tpu", False, True),
+                           ("cpu_f32", True, False)):
+        if (only and name != only) or (name == "cpu_f32" and only != "cpu_f32"):
             continue
         if name in raw and len(raw[name].get("batch", [])) >= SEEDS:
             print(f"# {name}: cached ({len(raw[name]['batch'])} seeds)")
             continue
         print(f"# running backend {name} ...", flush=True)
-        raw[name] = run_backend(cpu)
+        raw[name] = run_backend(cpu, x64=x64)
         RAW.write_text(json.dumps(raw))
     if only and ("cpu" not in raw or "tpu" not in raw):
         print(f"# backend {only} done; waiting for the other before reporting")
