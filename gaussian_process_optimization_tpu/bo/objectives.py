@@ -1,7 +1,8 @@
 """Benchmark objective functions (GPyOpt/GPyOpt/objective_examples/: experiments1d.py
 forrester:22; experiments2d.py branin:174 (fmin=0.397887, :201), rosenbrock:48,
-sixhumpcamel:259, goldstein:219, mccormick:296, eggholder:365; experimentsNd.py
-alpine1:7, gSobol:69, ackley:101). Hartmann6 is NOT in the reference — implemented from
+beale:79, dropwave:110, cosines:141, sixhumpcamel:259, goldstein:219,
+mccormick:296, powers:333, eggholder:365; experimentsNd.py
+alpine1:7, alpine2:39, gSobol:69, ackley:101). Hartmann6 is NOT in the reference — implemented from
 the standard definition (BASELINE.md note) for config-2/regret comparisons.
 
 All are pure jnp functions of (n, d) arrays returning (n, 1) — usable both as host
@@ -137,6 +138,79 @@ def gSobol(x, a=None):
     a = jnp.asarray(a, dtype=x.dtype)
     g = (jnp.abs(4 * x - 2) + a) / (1 + a)
     return jnp.prod(g, axis=1, keepdims=True)
+
+
+def beale(x):
+    """'Beale' as the reference defines it (experiments2d.py:79): the returned
+    value is -(100(x2-x1^2)^2 + (x1-1)^2) on [-1,1]^2 — NOT the textbook Beale
+    function (the reference body is a negated Rosenbrock; reproduced verbatim
+    for parity, with the reference's own fmin=0-at-(0,0) metadata kept)."""
+    x = jnp.atleast_2d(x)
+    x1, x2 = x[:, 0:1], x[:, 1:2]
+    return -(100.0 * (x2 - x1**2) ** 2 + (x1 - 1.0) ** 2)
+
+
+beale.bounds = [(-1.0, 1.0), (-1.0, 1.0)]
+# the reference's own metadata (fmin=0 at (0,0), :90-91) contradicts its
+# formula; the true minimum of the returned value on [-1,1]^2 is -404 at (-1,-1)
+beale.fmin = -404.0
+beale.xmin = np.array([[-1.0, -1.0]])
+
+
+def dropwave(x):
+    """Drop-wave on [-1,1]^2 (experiments2d.py:110). The reference returns the
+    POSITIVE well (1+cos(12 r))/(0.5 r^2 + 2): its f computes the standard
+    negative form and returns -fval."""
+    x = jnp.atleast_2d(x)
+    x1, x2 = x[:, 0:1], x[:, 1:2]
+    r2 = x1**2 + x2**2
+    return (1.0 + jnp.cos(12.0 * jnp.sqrt(r2))) / (0.5 * r2 + 2.0)
+
+
+dropwave.bounds = [(-1.0, 1.0), (-1.0, 1.0)]
+# minimum of the returned positive well: 0 wherever cos(12 r) = -1, first at
+# r = pi/12 (reference metadata says (0,0), which is its MAXIMUM)
+dropwave.fmin = 0.0
+dropwave.xmin = np.array([[np.pi / 12.0, 0.0]])
+
+
+def cosines(x):
+    """Cosines on [0,1]^2 (experiments2d.py:141): returns
+    -(1 - (u^2 + v^2 - 0.3 cos(3 pi u) - 0.3 cos(3 pi v))) with u = 1.6 x1 - 0.5,
+    v = 1.6 x2 - 0.5; fmin = -1.59622468 (:153)."""
+    x = jnp.atleast_2d(x)
+    u = 1.6 * x[:, 0:1] - 0.5
+    v = 1.6 * x[:, 1:2] - 0.5
+    fval = 1.0 - (u**2 + v**2 - 0.3 * jnp.cos(3 * jnp.pi * u)
+                  - 0.3 * jnp.cos(3 * jnp.pi * v))
+    return -fval
+
+
+cosines.bounds = [(0.0, 1.0), (0.0, 1.0)]
+cosines.fmin = -1.59622468
+cosines.xmin = np.array([[0.31426205, 0.30249864]])
+
+
+def powers(x):
+    """Sum-of-powers |x1|^2 + |x2|^3 on [-1,1]^2 (experiments2d.py:333);
+    fmin = 0 at the origin."""
+    x = jnp.atleast_2d(x)
+    return jnp.abs(x[:, 0:1]) ** 2 + jnp.abs(x[:, 1:2]) ** 3
+
+
+powers.bounds = [(-1.0, 1.0), (-1.0, 1.0)]
+powers.fmin = 0.0
+powers.xmin = np.array([[0.0, 0.0]])
+
+
+def alpine2(x, input_dim=None):
+    """Alpine-2, N-D on [1,10]^d (experimentsNd.py:39): -prod_i sqrt(x_i) sin(x_i);
+    fmin = -2.808^d at x_i ~= 7.917."""
+    x = jnp.atleast_2d(x)
+    return -jnp.prod(jnp.sqrt(x) * jnp.sin(x), axis=1, keepdims=True)
+
+
+alpine2.fmin = None  # -2.808**d, d-dependent (experimentsNd.py:53)
 
 
 _H6_ALPHA = np.array([1.0, 1.2, 3.0, 3.2])

@@ -5,16 +5,20 @@ from .linear import Linear
 from .other import MLP, Brownian, Coregionalize, Poly, Spline, StandardPeriodic
 from .integral import Integral, IntegralLimits, MultidimensionalIntegralLimits
 from .lfm import EQ_ODE1, EQ_ODE2
+from .linear import LinearFull
 from .misc import (
     BasisFuncKernel,
     ChangePointBasisFuncKernel,
     DomainKernel,
+    Hierarchical,
     IndependentOutputs,
     LinearSlopeBasisFuncKernel,
     LogisticBasisFuncKernel,
     PolynomialBasisFuncKernel,
     Symmetric,
     TruncLinear,
+    TruncLinear_inf,
+    TruncLinearInf,
 )
 from .periodic_rkhs import PeriodicExponential, PeriodicMatern32, PeriodicMatern52
 from .ode import ODE_UY, ODE_UYC, ODE_st, ODE_t
@@ -43,7 +47,8 @@ __all__ = [
     "Exponential", "ExpQuad", "Matern32", "Matern52", "RatQuad", "Sinc", "Stationary",
     "safe_sqrt", "sq_dist", "Integral", "PeriodicExponential", "PeriodicMatern32",
     "PeriodicMatern52", "GridRBF", "SplitKern", "DEtime", "MultioutputKern",
-    "EQ_ODE1", "EQ_ODE2", "TruncLinear", "Symmetric", "BasisFuncKernel",
+    "EQ_ODE1", "EQ_ODE2", "TruncLinear", "TruncLinearInf", "TruncLinear_inf",
+    "LinearFull", "Hierarchical", "Symmetric", "BasisFuncKernel",
     "PolynomialBasisFuncKernel", "LinearSlopeBasisFuncKernel",
     "ChangePointBasisFuncKernel", "DomainKernel", "LogisticBasisFuncKernel",
     "IndependentOutputs", "IntegralLimits", "MultidimensionalIntegralLimits",

@@ -44,6 +44,96 @@ class TruncLinear(Kernel):
 
 
 @pytree_dataclass
+class TruncLinearInf(Kernel):
+    """Shift-integrated truncated-linear kernel (trunclinear.py:110
+    TruncLinear_inf): per-dimension
+
+        k_q(x, y) = |x - y|^3 / 6 + x y (b - a) - (x + y)(b^2 - a^2)/2
+                    + (b^3 - a^3)/3
+
+    summed with per-dim variances over the interval (a, b). The reference's
+    hand-written einsum gradients (update_gradients_full :176) are autodiff
+    here; its gradients_X is broken upstream (references self.delta, which
+    TruncLinear_inf never defines) — autodiff of K supersedes it."""
+
+    variances: jnp.ndarray = None
+    interval: tuple = static_field(default=(0.0, 1.0))
+
+    @classmethod
+    def create(cls, input_dim, interval, variances=1.0, ARD=False,
+               active_dims=None):
+        shape = (input_dim,) if ARD else (1,)
+        return cls(
+            input_dim=input_dim,
+            active_dims=tuple(active_dims) if active_dims is not None else None,
+            variances=jnp.broadcast_to(jnp.asarray(variances, dtype=float), shape),
+            interval=(float(interval[0]), float(interval[1])),
+        )
+
+    def _product(self, X, X2):
+        a, b = self.interval
+        diff = X[:, None, :] - X2[None, :, :]
+        return (jnp.abs(diff**3) / 6.0
+                + X[:, None, :] * X2[None, :, :] * (b - a)
+                - (X[:, None, :] + X2[None, :, :]) * (b * b - a * a) / 2.0
+                + (b**3 - a**3) / 3.0)
+
+    def K(self, X, X2=None):
+        X = self._slice(X)
+        X2c = X if X2 is None else self._slice(X2)
+        return jnp.sum(self.variances * self._product(X, X2c), axis=-1)
+
+    def Kdiag(self, X):
+        X = self._slice(X)
+        a, b = self.interval
+        tmp = (jnp.square(X) * (b - a) - X * (b * b - a * a)
+               + (b**3 - a**3) / 3.0)
+        return jnp.sum(self.variances * tmp, axis=-1)
+
+
+# reference-spelled alias (GPy class name)
+TruncLinear_inf = TruncLinearInf
+
+
+@pytree_dataclass
+class Hierarchical(Kernel):
+    """Hierarchical covariance (independent_outputs.py:155, Hensman et al 2013):
+    kernels[0] is the base, computed everywhere; each further kernel l adds its
+    covariance only between rows sharing the same index in column
+    base_dim + l - 1. The reference assembles blocks with index_to_slices +
+    nested list-comprehension set-items; here each level is one branchless
+    equality-masked select (jit/vmap-safe), gradients by autodiff."""
+
+    parts: tuple = ()
+    base_dim: int = static_field(default=1)
+
+    @classmethod
+    def create(cls, kernels):
+        kernels = tuple(kernels)
+        assert len(kernels) > 1, "need a base kernel plus >=1 level"
+        base_dim = max(k.input_dim for k in kernels)
+        return cls(input_dim=base_dim + len(kernels) - 1, parts=kernels,
+                   base_dim=base_dim)
+
+    def K(self, X, X2=None):
+        X2c = X if X2 is None else X2
+        Xb, X2b = X[:, : self.base_dim], X2c[:, : self.base_dim]
+        out = self.parts[0].K(Xb, X2b)
+        for lvl, kern in enumerate(self.parts[1:]):
+            idx1 = X[:, self.base_dim + lvl]
+            idx2 = X2c[:, self.base_dim + lvl]
+            same = idx1[:, None] == idx2[None, :]
+            out = out + jnp.where(same, kern.K(Xb, X2b), 0.0)
+        return out
+
+    def Kdiag(self, X):
+        # a point always shares every level index with itself (reference
+        # Kdiag = diag(K(X)), :200)
+        Xb = X[:, : self.base_dim]
+        return sum(k.Kdiag(Xb) for k in self.parts)
+
+
+@pytree_dataclass
 class Symmetric(Kernel):
     """Even/odd symmetry about the plane described by transform A
     (symmetric.py:6-60): k(x,x') +- k(Ax,x') +- k(x,Ax') + k(Ax,Ax')."""

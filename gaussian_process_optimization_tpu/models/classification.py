@@ -150,3 +150,69 @@ class SparseGPClassification:
     def predict(self, Xnew, posterior=None):
         mu, var = self.predict_latent(Xnew, posterior=posterior)
         return _probit(mu, var)
+
+
+@pytree_dataclass
+class SparseGPClassificationUncertainInput:
+    """Sparse probit classification with Gaussian input uncertainty
+    (GPy/GPy/models/sparse_gp_classification.py:103): q(x_n) = N(X_n, X_var_n),
+    EPDTC on the RBF psi statistics — Kmn -> psi1.T for the EP sweeps
+    (EPDTC.inference :460) and the per-point psi0/psi2n in the final
+    heteroscedastic VarDTC bound (parameters_changed :243-248). Test inputs are
+    certain, so prediction uses plain K(Z, Xnew) against the converged EP
+    factors. RBF kernel only (the psi statistics' closed forms)."""
+
+    kern: object = None
+    Z: jnp.ndarray = None
+    X: jnp.ndarray = None       # mean of q(X)
+    X_variance: jnp.ndarray = None  # (N, D) diagonal variance of q(X)
+    Y: jnp.ndarray = None
+    inference_mode: str = static_field(default="parallel")
+    max_sweeps: int = static_field(default=60)
+
+    @classmethod
+    def create(cls, X, X_variance, Y, kernel=None, num_inducing=10, Z=None,
+               inference_mode="parallel", max_sweeps=60, seed=0):
+        X = jnp.atleast_2d(jnp.asarray(X, dtype=float))
+        X_variance = jnp.broadcast_to(
+            jnp.asarray(X_variance, dtype=float), X.shape)
+        Y = jnp.asarray(Y, dtype=float).reshape(-1)
+        Y = jnp.where(Y > 0, 1.0, -1.0)
+        kernel = kernel or RBF.create(X.shape[1])
+        if Z is None:
+            rng = np.random.default_rng(seed)
+            idx = rng.permutation(X.shape[0])[:num_inducing]
+            Z = jnp.asarray(np.asarray(X)[idx].copy())
+        else:
+            Z = jnp.atleast_2d(jnp.asarray(Z, dtype=float))
+        return cls(kern=kernel, Z=Z, X=X, X_variance=X_variance, Y=Y,
+                   inference_mode=inference_mode, max_sweeps=max_sweeps)
+
+    def _psi_stats(self):
+        from .gplvm import rbf_psi_stats_n
+
+        _, psi1, psi2n = rbf_psi_stats_n(self.kern, self.Z, self.X,
+                                         self.X_variance)
+        # per-point psi0_n = <k(x_n, x_n)> = variance for RBF (rbf_psi_comp)
+        psi0n = jnp.full((self.X.shape[0],), self.kern.variance)
+        return psi0n, psi1, psi2n
+
+    def inference(self):
+        psi0n, psi1, psi2n = self._psi_stats()
+        Kmm = self.kern.K(self.Z)
+        return epdtc_inference(Kmm, psi1.T, psi0n, self.Y, Bernoulli(),
+                               mode=self.inference_mode,
+                               max_sweeps=self.max_sweeps, psi2n=psi2n)
+
+    def log_marginal_likelihood(self):
+        return self.inference().lml
+
+    def predict_latent(self, Xnew, posterior=None):
+        post = posterior if posterior is not None else self.inference()
+        Kms = self.kern.K(self.Z, jnp.atleast_2d(Xnew))
+        kss = self.kern.Kdiag(jnp.atleast_2d(Xnew))
+        return epdtc_predict(post.Lm, post.LB, post.c, Kms, kss)
+
+    def predict(self, Xnew, posterior=None):
+        mu, var = self.predict_latent(Xnew, posterior=posterior)
+        return _probit(mu, var)

@@ -234,13 +234,20 @@ def _dtc_posterior_from_sites(Lm, Kmn, tau, nu):
 
 
 def epdtc_inference(Kmm, Kmn, Kdiag, y, lik, mode="parallel", eta=1.0, delta=None,
-                    max_sweeps=50, epsilon=1e-6):
+                    max_sweeps=50, epsilon=1e-6, psi2n=None):
     """Sparse EP on inducing points (GPy EPDTC :443).
 
     Runs EP sweeps on the DTC posterior (Qnn = Knm Kmm^-1 Kmn), then evaluates the
     heteroscedastic VarDTC collapsed bound at pseudo-targets mu_tilde = nu/tau with
     per-site precision beta = tau (EPDTC.inference :457-481 feeding
     VarDTC.inference with precision=tau), plus the log_Z_tilde correction (:521).
+
+    Uncertain inputs (SparseGPClassificationUncertainInput,
+    sparse_gp_classification.py:103): pass Kmn = psi1.T, Kdiag = per-point psi0,
+    and psi2n = the per-point (N, M, M) psi2 statistics. The EP sweeps keep the
+    DTC posterior built from psi1 (exactly the reference: EPDTC.inference :460
+    sets Kmn = psi1.T); the final bound replaces Knm beta Kmn with
+    sum_n beta_n psi2_n (var_dtc.py uncertain-input het branch).
     """
     Kmm = jnp.asarray(Kmm)
     Kmn = jnp.asarray(Kmn)
@@ -336,9 +343,14 @@ def epdtc_inference(Kmm, Kmn, Kdiag, y, lik, mode="parallel", eta=1.0, delta=Non
 
     # VarDTC with heteroscedastic precision (var_dtc.py:266-277, het branch)
     m = Kmm.shape[0]
-    sqb = jnp.sqrt(beta)
-    Ahat = linalg.solve_lower(Lm, Kmn * sqb[None, :])
-    A = Ahat @ Ahat.T
+    if psi2n is None:
+        sqb = jnp.sqrt(beta)
+        Ahat = linalg.solve_lower(Lm, Kmn * sqb[None, :])
+        A = Ahat @ Ahat.T
+    else:
+        # uncertain inputs: E_q[Kmn beta Knm] = sum_n beta_n psi2_n
+        P = jnp.einsum("n,nij->ij", beta, jnp.asarray(psi2n))
+        A = linalg.solve_lower(Lm, linalg.solve_lower(Lm, P).T).T
     B = jnp.eye(m, dtype=Kmm.dtype) + A
     LB, _, _ = linalg.jitchol(B)
     tmp = linalg.solve_lower(Lm, Kmn)  # Lm^-1 Kmn

@@ -88,3 +88,38 @@ def test_integrated_acquisition_delegates(rng):
     a2, da2 = acq.acquisition_function_withGradients(x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(a2))
     np.testing.assert_allclose(np.asarray(da), np.asarray(da2))
+
+
+def test_objective_tail_values():
+    """Reference-formula spot checks for the round-4 objective tail
+    (experiments2d.py beale:79/dropwave:110/cosines:141/powers:333,
+    experimentsNd.py alpine2:39)."""
+    import numpy as np
+
+    from gaussian_process_optimization_tpu.bo import objectives as obj
+
+    x = np.array([[0.3, -0.4]])
+    # beale (reference body = negated Rosenbrock)
+    np.testing.assert_allclose(
+        float(obj.beale(x)[0, 0]),
+        -(100 * (-0.4 - 0.09) ** 2 + (0.3 - 1) ** 2), rtol=1e-6)
+    # dropwave (reference returns the positive well)
+    r2 = 0.09 + 0.16
+    np.testing.assert_allclose(
+        float(obj.dropwave(x)[0, 0]),
+        (1 + np.cos(12 * np.sqrt(r2))) / (0.5 * r2 + 2), rtol=1e-6)
+    # cosines: value at the reference's minimizer equals its fmin (:152-153)
+    np.testing.assert_allclose(
+        float(obj.cosines(obj.cosines.xmin)[0, 0]), obj.cosines.fmin, atol=1e-6)
+    # powers
+    np.testing.assert_allclose(float(obj.powers(x)[0, 0]),
+                               0.3**2 + 0.4**3, rtol=1e-6)
+    # alpine2: fmin = -2.808^d at x ~= 7.917 per dim (experimentsNd.py:53)
+    d = 3
+    xa = np.full((1, d), 7.917)
+    np.testing.assert_allclose(float(obj.alpine2(xa)[0, 0]),
+                               -2.808**d, rtol=1e-3)
+    # dropwave's recorded minimizer achieves its fmin
+    np.testing.assert_allclose(
+        float(obj.dropwave(obj.dropwave.xmin)[0, 0]), obj.dropwave.fmin,
+        atol=1e-9)

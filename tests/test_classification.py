@@ -72,3 +72,44 @@ def test_conf_matrix_counts():
     # perfect classifier
     err, t1, f1, t0, f0 = conf_matrix(labels.astype(float), labels, show=False)
     assert err == 0.0 and t1 == 4 and t0 == 2 and f1 == 0 and f0 == 0
+
+
+def test_sparse_uncertain_input_zero_variance_matches_certain(rng):
+    """SparseGPClassificationUncertainInput (sparse_gp_classification.py:103):
+    as X_variance -> 0 the psi statistics collapse to the plain kernel matrices
+    (psi1 -> Kmn^T, psi2n -> kmn kmn^T, psi0 -> Kdiag), so the model must match
+    SparseGPClassification with the same Z."""
+    from gaussian_process_optimization_tpu.models.classification import (
+        SparseGPClassificationUncertainInput,
+    )
+
+    X, y = _toy(rng, n=40)
+    k = kern.RBF.create(1, variance=2.0, lengthscale=0.8)
+    Z = X[::4].copy()
+    certain = SparseGPClassification.create(X, y, kernel=k, Z=Z, max_sweeps=200)
+    uncertain = SparseGPClassificationUncertainInput.create(
+        X, np.full_like(X, 1e-10), y, kernel=k, Z=Z, max_sweeps=200)
+    lml_c = float(certain.log_marginal_likelihood())
+    lml_u = float(uncertain.log_marginal_likelihood())
+    np.testing.assert_allclose(lml_u, lml_c, rtol=1e-4)
+    Xs = np.array([[-1.0], [0.0], [1.0]])
+    np.testing.assert_allclose(np.asarray(uncertain.predict(Xs)),
+                               np.asarray(certain.predict(Xs)), atol=1e-4)
+
+
+def test_sparse_uncertain_input_variance_softens(rng):
+    """With substantial input noise the classifier must still separate the
+    classes but with less extreme probabilities than the certain-input model
+    (uncertainty widens the effective likelihood)."""
+    from gaussian_process_optimization_tpu.models.classification import (
+        SparseGPClassificationUncertainInput,
+    )
+
+    X, y = _toy(rng, n=60)
+    k = kern.RBF.create(1, variance=3.0, lengthscale=0.8)
+    Z = X[::6].copy()
+    m = SparseGPClassificationUncertainInput.create(
+        X, np.full_like(X, 0.25), y, kernel=k, Z=Z, max_sweeps=200)
+    assert np.isfinite(float(m.log_marginal_likelihood()))
+    p = np.asarray(m.predict(np.array([[-1.5], [1.5]])))
+    assert p[0] < 0.5 < p[1]

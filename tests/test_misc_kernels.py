@@ -74,3 +74,90 @@ def test_independent_outputs_blocks(rng):
     np.testing.assert_allclose(K[:4, :4], Kb, rtol=1e-10)
     np.testing.assert_allclose(K[4:, 4:], Kb, rtol=1e-10)
     np.testing.assert_allclose(K[:4, 4:], 0.0)  # independent functions
+
+
+def test_trunclinear_inf_values(rng):
+    """TruncLinear_inf vs an independent numpy twin of the reference formula
+    (trunclinear.py:153-160): |x-y|^3/6 + xy(b-a) - (x+y)(b^2-a^2)/2
+    + (b^3-a^3)/3, variance-weighted sum over dims."""
+    a, b = -0.5, 1.5
+    v = np.array([1.2, 0.7])
+    X = rng.standard_normal((6, 2))
+    Y = rng.standard_normal((4, 2))
+    k = kern.TruncLinearInf.create(2, interval=(a, b), variances=v, ARD=True)
+
+    def twin(A, B):
+        d = A[:, None, :] - B[None, :, :]
+        tmp = (np.abs(d**3) / 6 + np.einsum("nq,mq->nmq", A, B) * (b - a)
+               - (A[:, None, :] + B[None, :, :]) * (b * b - a * a) / 2
+               + (b**3 - a**3) / 3)
+        return (v * tmp).sum(-1)
+
+    np.testing.assert_allclose(np.asarray(k.K(jnp.asarray(X), jnp.asarray(Y))),
+                               twin(X, Y), rtol=1e-10)
+    # Kdiag consistency with the full matrix
+    np.testing.assert_allclose(np.asarray(k.Kdiag(jnp.asarray(X))),
+                               np.diag(twin(X, X)), rtol=1e-9)
+    # hyperparameter gradients flow
+    g = jax.grad(lambda kk: jnp.sum(kk.K(jnp.asarray(X))))(k)
+    assert np.all(np.isfinite(np.asarray(g.variances)))
+
+
+def test_linear_full_values(rng):
+    """LinearFull vs the reference einsum (linear.py:190-192):
+    K = X (W W^T + diag(kappa)) X2^T."""
+    D, R = 3, 2
+    W = rng.standard_normal((D, R))
+    kappa = rng.uniform(0.5, 2.0, D)
+    X = rng.standard_normal((5, D))
+    Y = rng.standard_normal((4, D))
+    k = kern.LinearFull.create(D, R, W=W, kappa=kappa)
+    P = W @ W.T + np.diag(kappa)
+    np.testing.assert_allclose(np.asarray(k.K(jnp.asarray(X), jnp.asarray(Y))),
+                               np.einsum("ij,jk,lk->il", X, P, Y), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(k.Kdiag(jnp.asarray(X))),
+                               np.einsum("ij,jk,ik->i", X, P, X), rtol=1e-10)
+    # PSD (P is PSD by construction) + gradients to both parameters
+    ev = np.linalg.eigvalsh(np.asarray(k.K(jnp.asarray(X))))
+    assert ev.min() > -1e-9
+    g = jax.grad(lambda kk: jnp.sum(kk.K(jnp.asarray(X))))(k)
+    assert np.all(np.isfinite(np.asarray(g.W)))
+    assert np.all(np.isfinite(np.asarray(g.kappa)))
+
+
+def test_hierarchical_block_structure(rng):
+    """Hierarchical (independent_outputs.py:155) vs an explicit numpy
+    block-assembly twin: base kernel everywhere + per-level same-index blocks."""
+    base = kern.RBF.create(1, variance=1.0, lengthscale=0.7)
+    lvl1 = kern.RBF.create(1, variance=0.5, lengthscale=0.3)
+    lvl2 = kern.Matern32.create(1, variance=0.8, lengthscale=1.1)
+    k = kern.Hierarchical.create([base, lvl1, lvl2])
+    assert k.input_dim == 3  # base col + 2 index cols
+
+    t = rng.uniform(0, 2, (8, 1))
+    i1 = rng.integers(0, 2, 8).astype(float)[:, None]   # replicate index
+    i2 = rng.integers(0, 3, 8).astype(float)[:, None]   # cluster index
+    X = np.hstack([t, i1, i2])
+
+    K = np.asarray(k.K(jnp.asarray(X)))
+    expected = np.asarray(base.K(jnp.asarray(t)))
+    for kk, idx in ((lvl1, i1[:, 0]), (lvl2, i2[:, 0])):
+        Kl = np.asarray(kk.K(jnp.asarray(t)))
+        mask = idx[:, None] == idx[None, :]
+        expected = expected + np.where(mask, Kl, 0.0)
+    np.testing.assert_allclose(K, expected, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(k.Kdiag(jnp.asarray(X))),
+                               np.diag(expected), rtol=1e-9)
+    # PSD: masked same-index blocks are block-diagonal under permutation
+    assert np.linalg.eigvalsh(K).min() > -1e-9
+    # cross-covariance path (X2 different points/indices)
+    t2 = rng.uniform(0, 2, (5, 1))
+    X2 = np.hstack([t2, np.zeros((5, 1)), np.ones((5, 1))])
+    K12 = np.asarray(k.K(jnp.asarray(X), jnp.asarray(X2)))
+    expected12 = np.asarray(base.K(jnp.asarray(t), jnp.asarray(t2)))
+    for kk, idx, idx2 in ((lvl1, i1[:, 0], np.zeros(5)),
+                          (lvl2, i2[:, 0], np.ones(5))):
+        Kl = np.asarray(kk.K(jnp.asarray(t), jnp.asarray(t2)))
+        mask = idx[:, None] == idx2[None, :]
+        expected12 = expected12 + np.where(mask, Kl, 0.0)
+    np.testing.assert_allclose(K12, expected12, rtol=1e-9)
