@@ -164,6 +164,103 @@ def run_ours():
     return t_fit, t_acq
 
 
+# ----------------------------------------------------------- thesis LP-batch path
+def run_gower_lp():
+    """Mixed-Gower local-penalization batch-5 iteration at N=4096 (VERDICT r3 #7):
+    the thesis pipeline's hot path (reference
+    GPyOpt/core/evaluators/batch_local_penalization.py:22-65 + the author's Gower
+    kernel), timed as fit + estimate_L + 5 penalized acquisition argmaxes via
+    suggest_next_locations (ask-tell). Returns the warm median over 2 fresh-Y
+    calls (same perturbation protocol as FIT: the tunnel coalesces identical
+    (program, args) executions)."""
+    from gaussian_process_optimization_tpu.bo.methods import BayesianOptimization
+
+    rng = np.random.default_rng(0)
+    Xc = rng.uniform(-2.0, 2.0, (N, 4))
+    Xd = rng.integers(0, 3, (N, 2)).astype(float)
+    X = np.hstack([Xc, Xd])
+    Y = (np.sin(Xc[:, :1] * 2.0) + 0.3 * np.cos(Xc.sum(1, keepdims=True))
+         + 0.1 * Xd[:, :1] + 0.05 * rng.standard_normal((N, 1)))
+    domain = (
+        [{"name": f"x{i}", "type": "continuous", "domain": (-2.0, 2.0)}
+         for i in range(4)]
+        + [{"name": f"d{i}", "type": "discrete", "domain": (0, 1, 2)}
+           for i in range(2)]
+    )
+    bo = BayesianOptimization(
+        f=None, domain=domain, X=X, Y=Y, Gower=True, acquisition_type="EI",
+        evaluator_type="local_penalization", batch_size=5, exact_feval=True,
+        seed=0, max_iters=FIT_STEPS, optimize_restarts=FIT_RESTARTS,
+    )
+    batch = bo.suggest_next_locations()  # compile + warm
+    assert batch.shape == (5, 6)
+    times = []
+    for i in range(2):
+        bo.Y = Y + 0.01 * np.random.default_rng(10 + i).standard_normal((N, 1))
+        t0 = time.perf_counter()
+        batch = bo.suggest_next_locations()  # returns host numpy (sync barrier)
+        times.append(time.perf_counter() - t0)
+        assert batch.shape == (5, 6)
+    return float(np.median(times))
+
+
+# ------------------------------------------------------------- dense-N scaling
+def run_scaling(sizes=(4096, 8192, 16384)):
+    """Opt-in (python bench.py --scaling): dense exact-GP fit at N=8192/16384
+    (VERDICT r3 #3) — the sizes where the CPU reference becomes unusable and the
+    TPU case strengthens. Reports wall seconds and effective TFLOP/s from the
+    cubic FLOP model (per L-BFGS step, B=FIT_RESTARTS lanes):
+
+        forwards:  n_fwd * B * (N^3/3)            Cholesky
+        backward:  1     * B * (N^3/3 + N^3/6 + N^3/3)
+                   re-used chol factor + tri_inv_lower + tri_tdot
+        (K build and solves are O(N^2) — <2% at these N, ignored)
+
+    with n_fwd read from the fit result's num_ls (per-lane mean). v5e MXU peak
+    is ~197 bf16 TFLOP/s; under the pinned 'highest' f32 matmul precision
+    (bf16x6) the attainable matmul peak is ~33 TFLOP/s, and Cholesky's
+    panel/solve structure caps well below that — %-of-peak is reported against
+    197 for honesty about headroom."""
+    import jax
+
+    import gaussian_process_optimization_tpu.kernels as kern
+    from gaussian_process_optimization_tpu.models import fit as fit_mod
+    from gaussian_process_optimization_tpu.models.gp import GPRegression
+
+    rows = []
+    for n in sizes:
+        X, Y = _data(n=n)
+        model = GPRegression.create(
+            X, Y, kernel=kern.Matern52.create(D, ARD=True), noise_var=0.05,
+            max_points=n)
+        fitter = fit_mod.Fitter(model, num_restarts=FIT_RESTARTS,
+                                maxiter=FIT_STEPS, tol=0.0)
+        fitted, res = fitter(model, jax.random.PRNGKey(0))  # compile
+        float(fitted.kern.variance)
+        times = []
+        n_ls = None
+        for i in range(2):
+            t0 = time.perf_counter()
+            fitted, res = fitter(model, jax.random.PRNGKey(1 + i))
+            float(fitted.kern.variance)
+            times.append(time.perf_counter() - t0)
+            n_ls = np.asarray(res.num_ls)
+        t = float(np.median(times))
+        fwd_per_lane = float(n_ls.mean()) / FIT_STEPS  # accepted trials/step
+        flops_step = FIT_RESTARTS * (
+            fwd_per_lane * n**3 / 3.0 + (n**3 / 3 + n**3 / 6 + n**3 / 3))
+        tflops = flops_step * FIT_STEPS / t / 1e12
+        rows.append({
+            "N": n, "fit_s": round(t, 3),
+            "per_step_ms": round(1e3 * t / FIT_STEPS, 1),
+            "trials_per_step": round(fwd_per_lane, 2),
+            "eff_tflops": round(tflops, 2),
+            "pct_bf16_peak": round(100.0 * tflops / 197.0, 1),
+        })
+        print(f"# scaling N={n}: {rows[-1]}", file=sys.stderr)
+    return rows
+
+
 # ----------------------------------------------------------------------- baseline
 def run_baseline():
     """Reference-equivalent math in float64 numpy/LAPACK on the host CPU. Measures
@@ -281,7 +378,11 @@ def run_baseline():
 
 def main():
     _tunnel_guard()
+    if "--scaling" in sys.argv:
+        print(json.dumps({"scaling": run_scaling()}))
+        return
     ours_fit, ours_acq = run_ours()
+    t_gower_lp = run_gower_lp()
     base_fit, base_acq, base_detail = run_baseline()
     ours = ours_fit + ours_acq
     base = base_fit + base_acq
@@ -294,6 +395,9 @@ def main():
         "detail": {
             "ours_fit_s": round(ours_fit, 4),
             "ours_acq_s": round(ours_acq, 4),
+            # thesis pipeline hot path: mixed-Gower LP batch-5 iteration
+            # (fit + estimate_L + 5 penalized argmaxes), warm median
+            "gower_lp_batch_s": round(t_gower_lp, 4),
             "baseline_fit_s": round(base_fit, 2),
             "baseline_acq_s": round(base_acq, 2),
             "baseline": "float64 numpy/LAPACK reference-equivalent math on host CPU "

@@ -77,6 +77,7 @@ class Fitter:
         history: int = 10,
         jit: bool = True,
         max_ls: int = 8,
+        nonmonotone_eta: float = 0.0,
     ):
         self.packer = make_packer(
             template_model, fix=fix, transform_overrides=transform_overrides
@@ -104,9 +105,18 @@ class Fitter:
                 # WHOLE restart batch; a lane that cannot improve within 8
                 # halvings freezes (the scipy-lbfgsb ABNORMAL_TERMINATION
                 # analog, optimizer.py:54-56) instead of gating the batch.
+                # nonmonotone_eta: Zhang-Hager acceptance cuts the backtrack
+                # tail that the vmapped restart batch pays at max-over-lanes
+                # (the round-3 ~20 ms/step line-search overhead, BASELINE.md).
+                # OPT-IN (default 0 = monotone): a 6-seed CPU-f64 A/B showed
+                # eta=0.5 degrading Hartmann6 median regret 0.064->0.099 and
+                # one alpine1 seed 0.018->0.59 — same verdict as the global
+                # bf16x3 matmul knob (CLAUDE.md): speed knobs that move regret
+                # stay opt-in.
                 return lbfgs.minimize(
                     lambda uu: obj(uu, model), u, maxiter=maxiter, tol=tol,
                     history=history, max_ls=max_ls,
+                    nonmonotone_eta=nonmonotone_eta,
                 )
 
             res = jax.vmap(solve)(starts)

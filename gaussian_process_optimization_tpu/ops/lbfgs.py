@@ -51,11 +51,13 @@ def _project(x, lower, upper):
 
 
 def _minimize(fun, x0, lower, upper, maxiter, history, tol,
-              max_ls=25, has_bounds=False, carry_vjp=True, trace=False):
+              max_ls=25, has_bounds=False, carry_vjp=True, trace=False,
+              nonmonotone_eta=0.0):
     n = x0.shape[0]
     m = history
     dtype = x0.dtype
     vg = None if carry_vjp else jax.value_and_grad(fun)
+    eta = float(nonmonotone_eta)  # static: 0.0 compiles to the monotone program
 
     def value_and_vjp(x):
         """(f, vjp_fn): forward pass that SAVES the pullback closure.
@@ -95,6 +97,8 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         jnp.int32(0),              # total line-search trials
         jnp.asarray(1.0, dtype),   # warm-start trial step t_init
         jnp.asarray(False),        # a line search failed at max_ls trials
+        f0,                        # C: Zhang-Hager nonmonotone reference value
+        jnp.asarray(1.0, dtype),   # Q: Zhang-Hager weight accumulator
     )
     if trace:
         # trace is a STATIC flag: the buffer only joins the carry when asked
@@ -129,7 +133,7 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
 
     c1 = 1e-4
 
-    def line_search(x, f, g, d, frozen, t_init):
+    def line_search(x, f, g, d, frozen, t_init, fref):
         """Backtracking Armijo with vjp-saving trials; the gradient at the
         accepted point is a BACKWARD PASS ONLY (the accepted trial's vjp closure
         rides the while_loop carry — see value_and_vjp).
@@ -161,7 +165,15 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         # dominant cost of the round-1 fit. Accepting within a few ulps of f is
         # the textbook "approximate Armijo" guard; the best-seen (xb, fb) carry
         # below keeps the returned iterate monotone.
-        slack = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.abs(f))
+        # `fref`: the acceptance reference. Monotone Armijo passes fref = f;
+        # the Zhang-Hager nonmonotone mode (nonmonotone_eta > 0) passes the
+        # weighted running average C_k >= f_k, accepting mildly uphill trials.
+        # Under vmap the restart batch pays the MAX trial count over lanes every
+        # outer step, so cutting the backtrack tail is a direct per-step saving
+        # (the round-3 diagnosis: desynchronized per-lane backtracks ~20 ms/step,
+        # BASELINE.md). Convergence is preserved (Zhang & Hager 2004, thm 2.2);
+        # the best-seen (xb, fb) carry keeps the RETURNED iterate monotone.
+        slack = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.abs(fref))
         md = jnp.dot(g, d)  # directional derivative at t=0
 
         def trial(t):
@@ -178,7 +190,7 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
             else:
                 f_new, vjp_new = fun(x_new), ()
             ok = jnp.isfinite(f_new) & (
-                f_new <= f + c1 * jnp.dot(g, x_new - x) + slack
+                f_new <= fref + c1 * jnp.dot(g, x_new - x) + slack
             )
             return x_new, f_new, vjp_new, ok | frozen
 
@@ -229,9 +241,9 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
 
     def body(state):
         if trace:
-            state, (ftrace,) = state[:14], state[14:]
+            state, (ftrace,) = state[:16], state[16:]
         (k, x, f, g, S, Ys, rho, gamma, xb, fb, frozen, n_ls, t_init,
-         ls_failed) = state
+         ls_failed, C, Q) = state
         d = two_loop(k, g, S, Ys, rho, gamma)
         # safeguard: if d is not a descent direction, fall back to steepest descent
         descent = jnp.dot(g, d) < 0
@@ -239,8 +251,11 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         # first iteration: raw-gradient direction, scaled to unit infinity-norm so
         # the t=1 trial is a sane step (saves ~6 batched backtrack forwards)
         d = jnp.where(k == 0, d / jnp.maximum(1.0, jnp.max(jnp.abs(d))), d)
+        # C_k >= f_k by construction (Zhang & Hager lemma 1.1); max() guards
+        # float round-off. eta == 0 collapses to C == f (plain monotone Armijo).
+        fref = jnp.maximum(f, C) if eta > 0.0 else f
         x_new, f_new, g_new, ls_ok, n_trials, t_acc = line_search(
-            x, f, g, d, frozen, t_init)
+            x, f, g, d, frozen, t_init, fref)
         n_ls = n_ls + n_trials
         # next first-trial step: grow the accepted step, capped at 1; after a
         # failed search reset to 1 (the lane freezes anyway). Growth is 4x after
@@ -272,16 +287,23 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         # `frozen` drives the vmap freeze trick, `ls_failed` records failure
         frozen_new = frozen | small_grad | (~ls_ok)
         ls_failed = ls_failed | (~ls_ok & ~frozen)
+        if eta > 0.0:
+            Q_new = eta * Q + 1.0
+            C = (eta * Q * C + f_new) / Q_new
+            Q = Q_new
+        else:
+            C = f_new
         out = (k + 1, x_new, f_new, g_new, S, Ys, rho, gamma, xb, fb, frozen_new,
-               n_ls, t_init, ls_failed)
+               n_ls, t_init, ls_failed, C, Q)
         if trace:
             out = out + (ftrace.at[k + 1].set(f_new),)
         return out
 
     final = lax.while_loop(cond, body, init_state)
-    ftrace_final = final[14] if trace else None
-    final = final[:14]
-    k, _, _, _, _, _, _, _, xb, fb, frozen_final, n_ls, _, ls_failed = final
+    ftrace_final = final[16] if trace else None
+    final = final[:16]
+    (k, _, _, _, _, _, _, _, xb, fb, frozen_final, n_ls, _, ls_failed,
+     _, _) = final
 
     # If even the initial point is non-finite, return x0 (GPyOpt optimizer.py:54-56).
     bad_start = ~jnp.isfinite(f0)
@@ -295,7 +317,7 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
 
 
 def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5,
-             max_ls=25, carry_vjp=True, trace=False):
+             max_ls=25, carry_vjp=True, trace=False, nonmonotone_eta=0.0):
     """Minimize `fun(x) -> scalar` from x0 (1-D array). Returns LBFGSResult.
 
     `lower`/`upper` (optional, broadcastable to x0) activate box projection.
@@ -307,6 +329,11 @@ def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5
     `trace=True` (static) additionally returns the per-iteration objective in
     ``result.trace`` for plot_optimizer — off by default so the fit hot path
     carries nothing extra.
+    `nonmonotone_eta` in [0, 1): Zhang-Hager nonmonotone Armijo — trials are
+    accepted against the weighted running average C_k of past objective values
+    instead of f_k, cutting backtrack tails (which the vmapped restart batch
+    pays at max-over-lanes). 0 (default) is plain monotone Armijo; the returned
+    (x, f) is the best-seen iterate either way.
     """
     x0 = jnp.asarray(x0)
     has_bounds = lower is not None or upper is not None
@@ -315,4 +342,5 @@ def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5
     return _minimize(
         fun, x0, lo, hi, maxiter, history, jnp.asarray(tol, x0.dtype),
         max_ls=max_ls, has_bounds=has_bounds, carry_vjp=carry_vjp, trace=trace,
+        nonmonotone_eta=nonmonotone_eta,
     )

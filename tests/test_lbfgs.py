@@ -12,7 +12,7 @@ def rosenbrock(x):
     return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
 
 
-def test_rosenbrock():
+def testrosenbrockbrock():
     x0 = jnp.zeros(4)
     res = lbfgs.minimize(rosenbrock, x0, maxiter=500)
     np.testing.assert_allclose(np.asarray(res.x), np.ones(4), atol=1e-5)
@@ -88,3 +88,29 @@ def test_trace_records_monotone_objective():
     np.testing.assert_allclose(float(res.f), float(res0.f), rtol=1e-12)
     # the best-seen objective is the trace minimum
     np.testing.assert_allclose(float(res.f), np.nanmin(t), rtol=1e-12)
+
+
+def test_nonmonotone_matches_monotone_optimum():
+    """Zhang-Hager nonmonotone Armijo (nonmonotone_eta > 0) must reach the same
+    minimizer as the monotone line search on a hard curved valley, with no more
+    line-search trials (the mode exists to CUT the backtrack tail the vmapped
+    restart batch pays at max-over-lanes)."""
+    x0 = jnp.asarray([-1.2, 1.0])
+    res_m = lbfgs.minimize(rosenbrock, x0, maxiter=200, tol=1e-8)
+    res_nm = lbfgs.minimize(rosenbrock, x0, maxiter=200, tol=1e-8,
+                            nonmonotone_eta=0.5)
+    np.testing.assert_allclose(np.asarray(res_nm.x), [1.0, 1.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_nm.f), 0.0, atol=1e-10)
+    # no per-step trial blowup (nonmonotone may take a few more OUTER steps on
+    # a solo run; its win is fewer backtracks per step, which is what the
+    # vmapped restart batch pays at max-over-lanes)
+    per_step_m = float(res_m.num_ls) / float(res_m.num_iters)
+    per_step_nm = float(res_nm.num_ls) / float(res_nm.num_iters)
+    assert per_step_nm <= per_step_m + 0.05
+
+    # vmapped multistart with the fit-path settings (carry_vjp default)
+    starts = jnp.asarray([[-1.2, 1.0], [2.0, 2.0], [0.0, 0.5]])
+    res = jax.vmap(lambda u: lbfgs.minimize(rosenbrock, u, maxiter=300, tol=1e-8,
+                                            nonmonotone_eta=0.5))(starts)
+    np.testing.assert_allclose(np.asarray(res.x),
+                               np.ones((3, 2)), atol=1e-4)
