@@ -47,7 +47,10 @@ def _exact_core_impl(Ky, Yc):
     from ..ops import linalg as _linalg
 
     L, jitter, ok = _linalg.jitchol(Ky)
-    t = _linalg.solve_lower(L, Yc)
+    # blocked 1-rhs forward substitution: XLA's full-size triangular solve is
+    # latency-bound at this shape (~9-10 ms of the 21.6 ms LML value pass at
+    # N=4096 B=5) and this is the line-search hot path
+    t = _linalg.blocked_solve_lower(L, Yc)
     logdet = _linalg.logdet_from_chol(L)
     quad = jnp.sum(t * t)
     alpha = _linalg.solve_lower_t(L, t)  # DCE'd when only the LML is used

@@ -204,6 +204,35 @@ def solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def blocked_solve_lower(L: jnp.ndarray, B: jnp.ndarray, nb: int = 512) -> jnp.ndarray:
+    """Forward substitution L x = B restructured as a panel loop of BATCHED ops
+    (the solve analog of :func:`blocked_cholesky`).
+
+    Why: XLA's `triangular_solve` on a (B, 4096, 4096) factor with a 1-column
+    RHS is LATENCY-bound — the per-lane sequential sweep leaves the MXU idle
+    and dominates the exact-GP LML forward (~9-10 ms of the 21.6 ms value pass
+    at N=4096 B=5; BASELINE.md round-4 note). Blocked: n/nb sequential steps,
+    each ONE batched (B, nb, nb) small solve (latency amortized over lanes)
+    plus an MXU panel matvec L[k, :k] @ x[:k]. Exact — same arithmetic, no
+    masking. Falls back to XLA's solve for small n or wide RHS (where the
+    dense solve is already matmul-shaped). Any leading batch dims.
+    """
+    n = L.shape[-1]
+    if n < 2 * nb or B.shape[-1] > nb:
+        return solve_lower(L, B)
+    x = jnp.zeros_like(B)
+    for k0 in range(0, n, nb):
+        k1 = min(k0 + nb, n)
+        rhs = B[..., k0:k1, :]
+        if k0 > 0:
+            rhs = rhs - jnp.matmul(L[..., k0:k1, :k0], x[..., :k0, :])
+        xk = lax.linalg.triangular_solve(
+            L[..., k0:k1, k0:k1], rhs, left_side=True, lower=True
+        )
+        x = x.at[..., k0:k1, :].set(xk)
+    return x
+
+
 def solve_lower_t(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """L^T x = B with L lower triangular (dtrtrs trans=1)."""
     return lax.linalg.triangular_solve(

@@ -190,3 +190,30 @@ def test_tri_tdot_matches_dense(rng, n):
     assert np.array_equal(np.asarray(W), np.swapaxes(np.asarray(W), 1, 2))
     W1 = linalg.tri_tdot(jnp.asarray(Li[0]), nb=512)
     np.testing.assert_allclose(np.asarray(W1), ref[0], rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [64, 600, 1100])
+def test_blocked_solve_lower_matches_xla(rng, n):
+    """blocked_solve_lower (the panel forward substitution the exact-GP LML
+    forward routes its 1-rhs solve through) vs XLA's triangular_solve, batched
+    and unbatched, ragged final panel, 1 and several RHS columns."""
+    B = 3
+    L = np.tril(rng.standard_normal((B, n, n))) + n * np.eye(n)
+    for k in (1, 3):
+        rhs = rng.standard_normal((B, n, k))
+        x = linalg.blocked_solve_lower(jnp.asarray(L), jnp.asarray(rhs), nb=256)
+        ref = linalg.solve_lower(jnp.asarray(L), jnp.asarray(rhs))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-12)
+    # unbatched
+    x1 = linalg.blocked_solve_lower(jnp.asarray(L[0]),
+                                    jnp.asarray(rhs[0]), nb=256)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(ref[0]),
+                               rtol=1e-10, atol=1e-12)
+    # wide RHS falls back to the dense solve (same answer either way)
+    wide = rng.standard_normal((B, n, 300))
+    xw = linalg.blocked_solve_lower(jnp.asarray(L), jnp.asarray(wide), nb=256)
+    np.testing.assert_allclose(
+        np.asarray(xw), np.asarray(linalg.solve_lower(jnp.asarray(L),
+                                                      jnp.asarray(wide))),
+        rtol=1e-10, atol=1e-12)
