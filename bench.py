@@ -195,7 +195,7 @@ def run_gower_lp():
     batch = bo.suggest_next_locations()  # compile + warm
     assert batch.shape == (5, 6)
     times = []
-    for i in range(2):
+    for i in range(3):
         bo.Y = Y + 0.01 * np.random.default_rng(10 + i).standard_normal((N, 1))
         t0 = time.perf_counter()
         batch = bo.suggest_next_locations()  # returns host numpy (sync barrier)

@@ -151,8 +151,12 @@ FMIN2 = float(min(equation_vec(_g2, lvl).min() for lvl in range(1, 11)))
 
 out = {{"batch": [], "pool": [], "equation": [], "surrogate_rmse": {{}}}}
 
+# parts to run (part-wise caching: a backend that already has Parts A/B from
+# an earlier round only pays for the missing parts)
+RUN = {parts!r}
+
 # --------------------------------------------------- Part A: LP batch loop
-for seed in range({seeds}):
+for seed in range({seeds} if "batch" in RUN else 0):
     space = DesignSpace(DOMAIN)
     X = np.asarray(initial_design("latin_mixed", space, 20, seed=seed), dtype=float)
     Y = balance(X)
@@ -171,7 +175,7 @@ for seed in range({seeds}):
         seed, regret, X.shape[0]), flush=True)
 
 # ------------------------------------------------ Part B: pool selection
-for seed in range({seeds}):
+for seed in range({seeds} if "pool" in RUN else 0):
     rng = np.random.default_rng(1000 + seed)  # identical pools on both backends
     pool = np.column_stack([
         rng.uniform(1, 10, 300), rng.integers(0, 6, 300).astype(float)])
@@ -196,7 +200,7 @@ for seed in range({seeds}):
 # balance collapses to the same optimum under every seed (all 10 CPU seeds
 # tie, thesis_raw.json r3) — the selector surface is multimodal per level,
 # so final regret actually varies and parity is a real test.
-for seed in range({seeds}):
+for seed in range({seeds} if "equation" in RUN else 0):
     space = DesignSpace(DOMAIN2)
     X = np.asarray(initial_design("latin_mixed", space, 10, seed=seed), dtype=float)
     Y = equation_xy(X)
@@ -225,18 +229,24 @@ _base = np.asarray(hammersley_design(_space_unit, 200), dtype=float)
 Xc = np.column_stack([_base[:, 0], np.rint(_base[:, 1] * 9 + 1)])
 Yc = equation_xy(Xc)
 _xg = np.linspace(0, 1, 1000)
-for seed in range(3):  # fit-restart seeds (the design itself is deterministic)
+# fit-restart seeds (the design itself is deterministic)
+for seed in range(3 if "surrogate_rmse" in RUN else 0):
     prob = BayesianOptimization(
         f=None, domain=DOMAIN2, X=Xc, Y=Yc,
         acquisition_type="EI", normalize_Y=True, exact_feval=False,
         evaluator_type="local_penalization", batch_size={batch},
         de_duplication=True, Gower=True, seed=seed)
     prob._update_model()
+    # the surrogate is fit on 'stats'-normalized Y (bo_loop.py:167,
+    # normalize_stats = (Y - mean)/std); predictions must be mapped back to
+    # objective scale before comparing against the true function
+    _ym, _ys = float(Yc.mean()), float(Yc.std())
     per_level = []
     for lvl in range(1, 11):
         Xg = np.column_stack([_xg, np.full_like(_xg, float(lvl))])
         mu, _ = prob.model.predict(Xg)
-        err = np.asarray(mu).ravel() - equation_vec(_xg, lvl)
+        mu = np.asarray(mu).ravel() * (_ys if _ys > 0 else 1.0) + _ym
+        err = mu - equation_vec(_xg, lvl)
         per_level.append(float(np.sqrt(np.mean(err ** 2))))
     out["surrogate_rmse"][str(seed)] = per_level
     print("# surrogate seed {{}}: per-level RMSE {{}}".format(
@@ -246,9 +256,12 @@ print("RESULT::" + json.dumps(out))
 """
 
 
-def run_backend(cpu, x64=True):
+ALL_PARTS = ("batch", "pool", "equation", "surrogate_rmse")
+
+
+def run_backend(cpu, x64=True, parts=ALL_PARTS):
     code = CHILD.format(root=str(ROOT), cpu=cpu, x64=x64, seeds=SEEDS,
-                        iters=ITERS, batch=BATCH)
+                        iters=ITERS, batch=BATCH, parts=tuple(parts))
     res = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=4 * 3600)
     for line in res.stdout.splitlines():
@@ -387,15 +400,21 @@ def main():
                            ("cpu_f32", True, False)):
         if (only and name != only) or (name == "cpu_f32" and only != "cpu_f32"):
             continue
-        done = (name in raw
-                and len(raw[name].get("batch", [])) >= SEEDS
-                and len(raw[name].get("equation", [])) >= SEEDS
-                and raw[name].get("surrogate_rmse"))
-        if done:
-            print(f"# {name}: cached ({len(raw[name]['batch'])} seeds)")
+        # part-wise caching: only the missing parts re-run (a backend that
+        # already has Parts A/B from an earlier round pays only for A2/C)
+        have = raw.get(name, {})
+        missing = [p for p in ALL_PARTS
+                   if (len(have.get(p, [])) < SEEDS if p != "surrogate_rmse"
+                       else not have.get(p))]
+        if not missing:
+            print(f"# {name}: cached (all parts)")
             continue
-        print(f"# running backend {name} ...", flush=True)
-        raw[name] = run_backend(cpu, x64=x64)
+        print(f"# running backend {name}: parts {missing} ...", flush=True)
+        fresh_parts = run_backend(cpu, x64=x64, parts=missing)
+        merged = dict(have)
+        for p in missing:
+            merged[p] = fresh_parts[p]
+        raw[name] = merged
         RAW.write_text(json.dumps(raw))
     if only and ("cpu" not in raw or "tpu" not in raw):
         print(f"# backend {only} done; waiting for the other before reporting")

@@ -1,11 +1,10 @@
 """Kernel (covariance function) zoo — TPU-native rebuild of GPy/GPy/kern."""
 from .base import Add, Kernel, Prod
 from .gower import Gower
-from .linear import Linear
+from .linear import Linear, LinearFull
 from .other import MLP, Brownian, Coregionalize, Poly, Spline, StandardPeriodic
 from .integral import Integral, IntegralLimits, MultidimensionalIntegralLimits
 from .lfm import EQ_ODE1, EQ_ODE2
-from .linear import LinearFull
 from .misc import (
     BasisFuncKernel,
     ChangePointBasisFuncKernel,

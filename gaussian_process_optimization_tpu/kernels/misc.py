@@ -111,6 +111,13 @@ class Hierarchical(Kernel):
     def create(cls, kernels):
         kernels = tuple(kernels)
         assert len(kernels) > 1, "need a base kernel plus >=1 level"
+        # reference hard-asserts equal input_dims (independent_outputs.py:173);
+        # without it a narrower level kernel would silently compute covariance
+        # over ALL base columns (Kernel._slice is identity when active_dims is
+        # None)
+        assert all(k.input_dim == kernels[0].input_dim for k in kernels), (
+            "Hierarchical needs equal input_dim across kernels "
+            "(use active_dims for narrower levels)")
         base_dim = max(k.input_dim for k in kernels)
         return cls(input_dim=base_dim + len(kernels) - 1, parts=kernels,
                    base_dim=base_dim)

@@ -12,7 +12,7 @@ def rosenbrock(x):
     return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
 
 
-def testrosenbrockbrock():
+def test_rosenbrock():
     x0 = jnp.zeros(4)
     res = lbfgs.minimize(rosenbrock, x0, maxiter=500)
     np.testing.assert_allclose(np.asarray(res.x), np.ones(4), atol=1e-5)
