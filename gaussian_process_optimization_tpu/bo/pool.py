@@ -77,3 +77,45 @@ def metamodel_rmse(model, X_test, Y_test):
     mu, _ = model.predict(np.atleast_2d(X_test))
     err = np.asarray(mu).flatten() - np.asarray(Y_test).flatten()
     return float(np.sqrt(np.mean(err**2)))
+
+
+def shuffle_indices(X, variables, rng=None):
+    """Randomly relabel each discrete dimension's level indices
+    (run.py:192-205 shuffle_indices) — the reference's encoding-robustness
+    experiment: if BO performance depends on the arbitrary ordering of
+    discrete levels, the surrogate is reading false ordinal structure.
+
+    `variables`: the domain spec list ({'type': 'discrete', 'domain': levels}).
+    Returns (X_shuffled, shuffle_patterns); invert with
+    :func:`unshuffle_indices`. Unlike the reference (which uses the global
+    numpy RNG and mutates X in place), takes an optional Generator and returns
+    a copy.
+    """
+    rng = np.random.default_rng() if rng is None else rng
+    X = np.array(X, dtype=float, copy=True)
+    patterns = [None] * len(variables)
+    for d, var in enumerate(variables):
+        if var.get("type") != "discrete":
+            continue
+        levels = list(var["domain"])
+        pattern = list(range(len(levels)))
+        rng.shuffle(pattern)
+        patterns[d] = pattern
+        for row in X:
+            original = levels.index(row[d])
+            row[d] = levels[pattern[original]]
+    return X, patterns
+
+
+def unshuffle_indices(X, variables, shuffle_patterns):
+    """Invert :func:`shuffle_indices` (run.py:207-218)."""
+    X = np.array(X, dtype=float, copy=True)
+    for d, var in enumerate(variables):
+        if var.get("type") != "discrete" or shuffle_patterns[d] is None:
+            continue
+        levels = list(var["domain"])
+        pattern = shuffle_patterns[d]
+        for row in X:
+            shuffled = levels.index(row[d])
+            row[d] = levels[pattern.index(shuffled)]
+    return X

@@ -145,3 +145,36 @@ def test_bo_state_roundtrip(fitted_model, tmp_path):
     )
     x_next = bo2.suggest_next_locations()
     assert 0 <= x_next[0, 0] <= 1
+
+
+def test_shuffle_indices_roundtrip():
+    """shuffle/unshuffle_indices (run.py:192-218): bijective per-dimension
+    relabeling of discrete levels, identity on continuous dims."""
+    import numpy as np
+
+    from gaussian_process_optimization_tpu.bo.pool import (
+        shuffle_indices,
+        unshuffle_indices,
+    )
+
+    variables = [
+        {"name": "x", "type": "continuous", "domain": (0.0, 1.0)},
+        {"name": "a", "type": "discrete", "domain": (0, 1, 2, 3)},
+        {"name": "b", "type": "discrete", "domain": (10, 20, 30)},
+    ]
+    rng = np.random.default_rng(0)
+    X = np.column_stack([
+        rng.uniform(0, 1, 12),
+        rng.choice([0, 1, 2, 3], 12).astype(float),
+        rng.choice([10, 20, 30], 12).astype(float),
+    ])
+    Xs, patterns = shuffle_indices(X, variables, rng=np.random.default_rng(7))
+    # continuous column untouched; discrete columns stay within their levels
+    np.testing.assert_array_equal(Xs[:, 0], X[:, 0])
+    assert set(Xs[:, 1]) <= {0.0, 1.0, 2.0, 3.0}
+    assert set(Xs[:, 2]) <= {10.0, 20.0, 30.0}
+    # a relabeling is a bijection: unshuffle restores the original exactly
+    Xr = unshuffle_indices(Xs, variables, patterns)
+    np.testing.assert_array_equal(Xr, X)
+    # the input was not mutated (reference mutates in place; we do not)
+    assert X[0, 1] in {0.0, 1.0, 2.0, 3.0}
