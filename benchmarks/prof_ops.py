@@ -1,0 +1,113 @@
+"""Per-op TPU cost profiler — slope method (CLAUDE.md TIMING notes).
+
+Every dispatch through the tunnel costs ~25-28 ms, so one-call timings measure
+overhead. For true device cost, repeat the op inside ONE program with a data
+dependence between iterations (lax.fori_loop) at two trip counts and take the
+slope. The carried value must reduce the op's FULL output (jnp.sum) — a sliced
+readout lets XLA dead-code-eliminate the rest of the op.
+
+Usage (tunnel must be up; single-client — nothing else running):
+    python benchmarks/prof_ops.py            # default N=4096 B=5 suite
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent.parent / ".jax_cache"))
+
+    import gaussian_process_optimization_tpu.kernels as kern
+    from gaussian_process_optimization_tpu.models import fit as fit_mod
+    from gaussian_process_optimization_tpu.models.gp import GPRegression
+    from gaussian_process_optimization_tpu.ops import linalg
+
+    N, D, B = 4096, 6, 5
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(-2, 2, (N, D)).astype(np.float32))
+    Yc = jnp.asarray(rng.standard_normal((B, N, 1)).astype(np.float32))
+    A0 = rng.standard_normal((B, N, 32)).astype(np.float32)
+    Ky = jnp.asarray(A0 @ np.swapaxes(A0, 1, 2) + (N / 8) * np.eye(N, dtype=np.float32))
+
+    def slope(make_body, carry0, trips=(4, 12), label=""):
+        """Wall time per op iteration via two fori_loop trip counts."""
+        def prog(n_trips):
+            @jax.jit
+            def run(c0):
+                return lax.fori_loop(0, n_trips, make_body, c0)
+            return run
+
+        ts = {}
+        for nt in trips:
+            run = prog(nt)
+            c = run(carry0)
+            float(jnp.sum(c))  # warm + compile; device->host read as barrier
+            reps = []
+            for r in range(3):
+                t0 = time.perf_counter()
+                # fresh input EVERY call (the tunnel coalesces identical
+                # (program, args) executions)
+                c = run(carry0 + 1e-6 * (r + 1))
+                float(jnp.sum(c))
+                reps.append(time.perf_counter() - t0)
+            ts[nt] = float(np.median(reps))
+        per_op = (ts[trips[1]] - ts[trips[0]]) / (trips[1] - trips[0])
+        print(f"{label:<42s} {per_op * 1e3:8.2f} ms   "
+              f"(t{trips[0]}={ts[trips[0]]:.3f}s t{trips[1]}={ts[trips[1]]:.3f}s)")
+        return per_op
+
+    L = jnp.linalg.cholesky(Ky)
+
+    # 1) Cholesky variants
+    def chol_xla(i, c):
+        return jnp.sum(jnp.linalg.cholesky(Ky + c * 1e-12)) * 1e-20 + c
+    slope(chol_xla, jnp.float32(0.0), label="cholesky XLA batched (B=5,N=4096)")
+
+    for nb in (256, 512):
+        def chol_blk(i, c, nb=nb):
+            return jnp.sum(linalg.blocked_cholesky(Ky + c * 1e-12, nb=nb)) * 1e-20 + c
+        slope(chol_blk, jnp.float32(0.0), label=f"blocked_cholesky nb={nb}")
+
+    # 2) 1-rhs triangular solve variants
+    def solve_xla(i, c):
+        return jnp.sum(linalg.solve_lower(L, Yc + c * 1e-12)) * 1e-20 + c
+    slope(solve_xla, jnp.float32(0.0), label="solve_lower XLA (1 rhs)")
+
+    for nb in (256, 512, 1024):
+        def solve_blk(i, c, nb=nb):
+            return jnp.sum(linalg.blocked_solve_lower(L, Yc + c * 1e-12, nb=nb)) * 1e-20 + c
+        slope(solve_blk, jnp.float32(0.0), label=f"blocked_solve_lower nb={nb}")
+
+    # 3) LML value and value+grad (the line-search trial and accept costs)
+    Xh, Yh = rng.uniform(-2, 2, (N, D)), rng.standard_normal((N, 1))
+    model = GPRegression.create(Xh, Yh, kernel=kern.Matern52.create(D, ARD=True),
+                                noise_var=0.05, max_points=N)
+    from gaussian_process_optimization_tpu.models.parameters import make_packer
+    packer = make_packer(model)
+    obj = fit_mod.make_objective(packer)
+    u0 = packer.pack(model)
+    us = jnp.broadcast_to(u0, (B,) + u0.shape) + 1e-4 * jnp.asarray(
+        rng.standard_normal((B, u0.shape[0])).astype(np.float32))
+
+    def lml_val(i, c):
+        v = jax.vmap(lambda u: obj(u + c * 1e-12, model))(us)
+        return jnp.sum(v) * 1e-20 + c
+    slope(lml_val, jnp.float32(0.0), label="LML value (B=5 vmapped)")
+
+    def lml_vg(i, c):
+        v, g = jax.vmap(lambda u: jax.value_and_grad(obj)(u + c * 1e-12, model))(us)
+        return (jnp.sum(v) + jnp.sum(g)) * 1e-20 + c
+    slope(lml_vg, jnp.float32(0.0), label="LML value+grad (B=5 vmapped)")
+
+
+if __name__ == "__main__":
+    main()
