@@ -229,11 +229,15 @@ def run_scaling(sizes=(4096, 8192, 16384)):
 
     rows = []
     for n in sizes:
+        # HBM budget: the fit carries ~5 Gram-sized f32 buffers per lane
+        # (Ky, L, the carried-vjp residuals, Li + tri_tdot in the backward);
+        # at N=16384 that is ~5.4 GB/lane, so the 16 GB v5e fits 2 lanes
+        restarts = FIT_RESTARTS if n <= 8192 else 2
         X, Y = _data(n=n)
         model = GPRegression.create(
             X, Y, kernel=kern.Matern52.create(D, ARD=True), noise_var=0.05,
             max_points=n)
-        fitter = fit_mod.Fitter(model, num_restarts=FIT_RESTARTS,
+        fitter = fit_mod.Fitter(model, num_restarts=restarts,
                                 maxiter=FIT_STEPS, tol=0.0)
         fitted, res = fitter(model, jax.random.PRNGKey(0))  # compile
         float(fitted.kern.variance)
@@ -247,11 +251,11 @@ def run_scaling(sizes=(4096, 8192, 16384)):
             n_ls = np.asarray(res.num_ls)
         t = float(np.median(times))
         fwd_per_lane = float(n_ls.mean()) / FIT_STEPS  # accepted trials/step
-        flops_step = FIT_RESTARTS * (
+        flops_step = restarts * (
             fwd_per_lane * n**3 / 3.0 + (n**3 / 3 + n**3 / 6 + n**3 / 3))
         tflops = flops_step * FIT_STEPS / t / 1e12
         rows.append({
-            "N": n, "fit_s": round(t, 3),
+            "N": n, "restarts": restarts, "fit_s": round(t, 3),
             "per_step_ms": round(1e3 * t / FIT_STEPS, 1),
             "trials_per_step": round(fwd_per_lane, 2),
             "eff_tflops": round(tflops, 2),
