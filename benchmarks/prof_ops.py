@@ -87,6 +87,18 @@ def main():
             return jnp.sum(linalg.blocked_solve_lower(L, Yc + c * 1e-12, nb=nb)) * 1e-20 + c
         slope(solve_blk, jnp.float32(0.0), label=f"blocked_solve_lower nb={nb}")
 
+    # 2b) backward-pass constituents (tri_inv_lower + tri_tdot dominate the
+    # _exact_core pullback)
+    def tri_inv(i, c):
+        return jnp.sum(linalg.tri_inv_lower(L + c * 1e-12)) * 1e-20 + c
+    slope(tri_inv, jnp.float32(0.0), label="tri_inv_lower (D&C)")
+
+    Li0 = linalg.tri_inv_lower(L)
+
+    def tri_td(i, c):
+        return jnp.sum(linalg.tri_tdot(Li0 + c * 1e-12)) * 1e-20 + c
+    slope(tri_td, jnp.float32(0.0), label="tri_tdot (lauum-blocked)")
+
     # 3) LML value and value+grad (the line-search trial and accept costs)
     Xh, Yh = rng.uniform(-2, 2, (N, D)), rng.standard_normal((N, 1))
     model = GPRegression.create(Xh, Yh, kernel=kern.Matern52.create(D, ARD=True),
@@ -107,6 +119,29 @@ def main():
         v, g = jax.vmap(lambda u: jax.value_and_grad(obj)(u + c * 1e-12, model))(us)
         return (jnp.sum(v) + jnp.sum(g)) * 1e-20 + c
     slope(lml_vg, jnp.float32(0.0), label="LML value+grad (B=5 vmapped)")
+
+    # 4) Sparse VarDTC at BASELINE config-4 scale (N=50k, M=256): round-2
+    # measured 368 ms per fit step — orders of magnitude above the ~3 GFLOP
+    # floor of A = Lm^-1 Kmn and A A^T. Decompose: bound value, value+grad.
+    from gaussian_process_optimization_tpu.models.sparse import SparseGPRegression
+
+    Ns, Ms = 50_000, 256
+    Xs_ = rng.uniform(-2, 2, (Ns, D)).astype(np.float32)
+    Ys_ = (np.sin(Xs_[:, :1]) + 0.05 * rng.standard_normal((Ns, 1))).astype(np.float32)
+    sp = SparseGPRegression.create(Xs_, Ys_, kernel=kern.Matern52.create(D, ARD=True),
+                                   num_inducing=Ms, noise_var=0.05)
+    sp_packer = make_packer(sp)
+    sp_obj = fit_mod.make_objective(sp_packer)
+    su0 = sp_packer.pack(sp)
+
+    def sp_val(i, c):
+        return jnp.sum(sp_obj(su0 + c * 1e-12, sp)) * 1e-20 + c
+    slope(sp_val, jnp.float32(0.0), label=f"VarDTC bound value (N={Ns}, M={Ms})")
+
+    def sp_vg(i, c):
+        v, g = jax.value_and_grad(sp_obj)(su0 + c * 1e-12, sp)
+        return (jnp.sum(v) + jnp.sum(g)) * 1e-20 + c
+    slope(sp_vg, jnp.float32(0.0), label=f"VarDTC bound value+grad (N={Ns}, M={Ms})")
 
 
 if __name__ == "__main__":

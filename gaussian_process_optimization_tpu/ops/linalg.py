@@ -258,8 +258,9 @@ def tri_inv_lower(L: jnp.ndarray, block: int = 256, precision=None) -> jnp.ndarr
     """
     n = L.shape[-1]
     if n <= block:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
         return lax.linalg.triangular_solve(
-            L, jnp.eye(n, dtype=L.dtype), left_side=True, lower=True
+            L, eye, left_side=True, lower=True
         )
     # pad to a power-of-two multiple of block with identity diagonal
     nb = -(-n // block)
