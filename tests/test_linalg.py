@@ -217,3 +217,16 @@ def test_blocked_solve_lower_matches_xla(rng, n):
         np.asarray(xw), np.asarray(linalg.solve_lower(jnp.asarray(L),
                                                       jnp.asarray(wide))),
         rtol=1e-10, atol=1e-12)
+
+
+def test_tri_inv_lower_stacked_small_n(rng):
+    """Regression: the n <= block fallback must broadcast the identity RHS for
+    STACKED (non-vmapped) batched factors — it previously fed an unbatched eye
+    into triangular_solve, a batching-dim mismatch."""
+    Ls = jnp.asarray(np.stack([np.linalg.cholesky(_random_pd(rng, 48))
+                               for _ in range(2)]))
+    Li = linalg.tri_inv_lower(Ls, block=64)  # small-n path, leading batch dim
+    for b in range(2):
+        np.testing.assert_allclose(np.asarray(Li[b]),
+                                   np.linalg.inv(np.asarray(Ls[b])),
+                                   rtol=1e-7, atol=1e-8)
