@@ -290,8 +290,34 @@ class StateSpaceGP:
     @classmethod
     def create(cls, X, Y, family="matern32", variance=1.0, lengthscale=1.0,
                noise_var=0.1, period=1.0, lengthscale_damp=1.0, order=7):
-        X = jnp.asarray(X, dtype=float).reshape(-1, 1)
+        X = jnp.asarray(X, dtype=float)
+        # the model is strictly 1-D in time: a silent reshape(-1, 1) of a
+        # (n, d>1) input would flatten it to (n*d, 1) against an (n, 1) Y and
+        # produce finite-but-meaningless results (review round 4)
+        if X.ndim >= 2 and X.shape[-1] != 1:
+            raise ValueError(
+                f"state-space GPs are 1-D (time) models; got X with "
+                f"{X.shape[-1]} input dims — use a kernel-on-X model instead")
+        X = X.reshape(-1, 1)
         Y = jnp.asarray(Y, dtype=float).reshape(-1, 1)
+        if X.shape[0] != Y.shape[0]:
+            raise ValueError(f"X/Y length mismatch: {X.shape[0]} vs {Y.shape[0]}")
+        fams = family if isinstance(family, tuple) else (family,)
+        if any(f in ("brownian", "linear") for f in fams):
+            # origin-at-zero SDEs (brownian/linear) pin the filter clock at
+            # t=0; a negative first timestamp gives NEGATIVE process noise
+            # (Q = Qc*dt), i.e. NaN LML but finite-garbage predictions. Only
+            # checkable eagerly — tracers skip (create is eager in practice).
+            try:
+                t_min = float(jnp.min(X))
+                if t_min < 0:
+                    raise ValueError(
+                        f"family {family!r} pins the state at t=0 "
+                        f"(sde_brownian.py:35 / sde_linear.py:44); negative "
+                        f"times (min {t_min:.3g}) are outside the process "
+                        f"domain — shift the time axis to start at >= 0")
+            except jax.errors.TracerArrayConversionError:
+                pass
         k = len(family) if isinstance(family, tuple) else None
 
         def vec(v):

@@ -48,8 +48,17 @@ def _masked_lml(u, X, Y, sel, mask, with_offset):
     return m.log_marginal_likelihood()
 
 
+from functools import partial as _jit_partial
+
+
+@_jit_partial(jax.jit, static_argnums=(5, 6))
 def _fit_batch(U0, Xb, Yb, selb, maskb, with_offset, maxiter):
-    """Fit all lanes in ONE vmapped L-BFGS program; returns (lml, offset)."""
+    """Fit all lanes in ONE vmapped L-BFGS program; returns (lml, offset).
+
+    Module-level jit with static (with_offset, maxiter): wrapping a fresh
+    closure in jax.jit per call retraced + recompiled every greedy round
+    (~9 s/round measured on this host) — the cache must key on a stable
+    function object to actually serve the whole loop."""
 
     def one(u0, X, Y, sel, mask):
         def obj(u):
@@ -63,7 +72,7 @@ def _fit_batch(U0, Xb, Yb, selb, maskb, with_offset, maxiter):
         off = res.x[3] if with_offset else jnp.zeros(())
         return ll, off
 
-    return jax.jit(jax.vmap(one))(U0, Xb, Yb, selb, maskb)
+    return jax.vmap(one)(U0, Xb, Yb, selb, maskb)
 
 
 def _pad_stack(items, n_max):

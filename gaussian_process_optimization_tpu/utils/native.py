@@ -83,12 +83,22 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def _require_lib():
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(
+            "native engine unavailable (no compiler or GPO_TPU_NO_NATIVE set); "
+            "check utils.native.available() and use the numpy fallbacks in "
+            "bo/designs.py")
+    return lib
+
+
 def _dptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
 def maximin_lhs(n, d, iterations, seed) -> np.ndarray:
-    lib = get_lib()
+    lib = _require_lib()
     out = np.empty((n, d), dtype=np.float64)
     lib.maximin_lhs(n, d, iterations, int(seed) & 0xFFFFFFFFFFFFFFFF, _dptr(out))
     return out
@@ -96,7 +106,7 @@ def maximin_lhs(n, d, iterations, seed) -> np.ndarray:
 
 def discrete_lhs(n, levels, iterations, retries, frac, seed):
     """Returns (unit_starts (n, d), representation_ok)."""
-    lib = get_lib()
+    lib = _require_lib()
     levels = np.asarray(levels, dtype=np.int32)
     d = len(levels)
     out = np.empty((n, d), dtype=np.float64)
@@ -109,7 +119,7 @@ def discrete_lhs(n, levels, iterations, retries, frac, seed):
 
 
 def sobol_points(n, d) -> np.ndarray | None:
-    lib = get_lib()
+    lib = _require_lib()
     out = np.empty((n, d), dtype=np.float64)
     if not lib.sobol_points(n, d, _dptr(out)):
         return None
@@ -117,6 +127,6 @@ def sobol_points(n, d) -> np.ndarray | None:
 
 
 def min_pairwise_dist(X) -> float:
-    lib = get_lib()
+    lib = _require_lib()
     X = np.ascontiguousarray(X, dtype=np.float64)
     return float(lib.min_pairwise_dist(_dptr(X), X.shape[0], X.shape[1]))

@@ -75,6 +75,12 @@ class Packer:
 
     def pack(self, params: Any) -> jnp.ndarray:
         leaves = jax.tree_util.tree_leaves(params)
+        if len(leaves) != len(self._transforms):
+            # zip would silently truncate — quietly excluding parameters from
+            # optimization (same hazard the fixed-spec constructor guards)
+            raise ValueError(
+                f"params has {len(leaves)} leaves, packer template has "
+                f"{len(self._transforms)} — structure mismatch")
         parts = []
         for leaf, t, fx in zip(leaves, self._transforms, self._fixed):
             if fx:

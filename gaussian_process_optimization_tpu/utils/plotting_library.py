@@ -341,7 +341,13 @@ def _grid_1d(model, resolution=200, bounds=None, visible_dims=None,
     d0 = free[0]
     X, _ = _model_xy(model)
     if bounds is not None:
-        lo, hi = bounds[0]
+        # per-dim bounds list: index by the FREE dim (a single (lo, hi) pair
+        # is also accepted); bounds[0] regardless of d0 misapplied dim-0's
+        # range whenever visible_dims selected another dim (review round 4)
+        if len(bounds) > d0 and np.ndim(bounds[0]) > 0:
+            lo, hi = bounds[d0]
+        else:
+            lo, hi = bounds if np.ndim(bounds[0]) == 0 else bounds[0]
     else:
         lo, hi = X[:, d0].min(), X[:, d0].max()
         pad = 0.1 * (hi - lo + 1e-9)
@@ -599,12 +605,16 @@ def _latent_mean_fn(model):
 
 
 def plot_magnification(model, which_indices=None, resolution=40, ax=None,
-                       filename=None, mean=True):
-    """Magnification-factor map sqrt(det(J^T J)) of the latent->data mean
-    mapping over a latent grid (gpy_plot/latent_plots.py plot_magnification
-    :145, util/linalg magnification). The reference assembles the expected
-    Jacobian from hand-written kernel gradients; here J is one jacfwd through
-    predict — autodiff-exact for every model/kernel."""
+                       filename=None, mean=True, covariance=True):
+    """Magnification-factor map sqrt(det(G)) of the latent->data mapping over
+    a latent grid (gpy_plot/latent_plots.py plot_magnification :145,
+    util/linalg magnification). With the default mean=True, covariance=True
+    and a model exposing ``predict_magnification`` (exact GPs), G is the full
+    expected Wishart metric J_mu^T J_mu + P Cov[J] (GPy gp.py:521/556);
+    otherwise G falls back to the mean-Jacobian metric J^T J with J one
+    jacfwd through predict — autodiff-exact for every model/kernel.
+    mean=False drops the mean-Jacobian term (covariance-only map), mirroring
+    the reference's switch."""
     import jax
     import jax.numpy as jnp
 
@@ -613,14 +623,24 @@ def plot_magnification(model, which_indices=None, resolution=40, ax=None,
     d0, d1 = _significant_dims(model, which_indices)
     G0, G1, Xg = _latent_grid(model, (d0, d1), resolution)
 
-    mean_at = _latent_mean_fn(model)
+    if hasattr(model, "predict_magnification"):
+        M = np.asarray(model.predict_magnification(
+            jnp.asarray(Xg), mean=mean, covariance=covariance,
+            dimensions=(d0, d1))).reshape(G0.shape)
+    else:
+        if not mean:
+            raise NotImplementedError(
+                "mean=False needs the model's predict_magnification "
+                "(covariance-corrected Wishart metric); this model only "
+                "supports the mean-Jacobian map")
+        mean_at = _latent_mean_fn(model)
 
-    def mag(x):
-        J = jax.jacfwd(mean_at)(x)[:, jnp.asarray([d0, d1])]  # (P, 2)
-        JtJ = J.T @ J
-        return jnp.sqrt(jnp.maximum(jnp.linalg.det(JtJ), 0.0))
+        def mag(x):
+            J = jax.jacfwd(mean_at)(x)[:, jnp.asarray([d0, d1])]  # (P, 2)
+            JtJ = J.T @ J
+            return jnp.sqrt(jnp.maximum(jnp.linalg.det(JtJ), 0.0))
 
-    M = np.asarray(jax.vmap(mag)(jnp.asarray(Xg))).reshape(G0.shape)
+        M = np.asarray(jax.vmap(mag)(jnp.asarray(Xg))).reshape(G0.shape)
     pl.contour(axes[0], G0, G1, M)
     if filename and fig is not None:
         pl.save(fig, filename)
@@ -841,7 +861,10 @@ def plot_optimizer(trace, ax=None, filename=None):
               "ops.lbfgs.minimize (or an array of objective values).")
         return None
     t = np.asarray(t).ravel()
-    t = t[~np.isnan(t)]
+    # strip only TRAILING NaNs (unreached-iteration padding); interior NaNs
+    # are real diverged steps and must stay on the iteration axis
+    finite = np.where(~np.isnan(t))[0]
+    t = t[: finite[-1] + 1] if finite.size else t[:0]
     pl = plotting_library()
     fig, axes = pl.figure() if ax is None else (None, [ax])
     pl.plot(axes[0], np.arange(t.shape[0]), t, label="objective")

@@ -121,24 +121,34 @@ class HalfTPrior(Prior):
 
 
 def log_prior(priors, params) -> jnp.ndarray:
-    """Sum of prior log-densities. `priors` is a pytree matching a sub-structure of
-    `params`: leaves that are Prior instances are applied to the corresponding
-    parameter leaf; None leaves contribute 0."""
+    """Sum of prior log-densities. `priors` mirrors the FULL structure of
+    `params` leaf-for-leaf: leaves that are Prior instances are applied to the
+    corresponding parameter leaf; None leaves contribute 0 (use None to skip a
+    parameter, including slots where params itself holds None)."""
     import jax
 
     if priors is None:
         return jnp.asarray(0.0)
     total = 0.0
-    # None IS a valid leaf here (the docstring promises "None leaves
-    # contribute 0") — without is_leaf admitting it, tree_leaves drops None
-    # nodes and the count check below rejects exactly the documented usage
+    # None IS a valid leaf on BOTH sides: priors uses it as "no prior here",
+    # and params trees may hold None slots (e.g. mask=None on a model).
+    # Flattening params WITHOUT is_leaf would drop its None nodes while the
+    # priors side counts the mirroring None — a spurious count mismatch on
+    # exactly the documented usage.
     flat_priors = jax.tree_util.tree_leaves(
         priors, is_leaf=lambda x: x is None or isinstance(x, Prior)
     )
-    flat_params = jax.tree_util.tree_leaves(params)
+    flat_params = jax.tree_util.tree_leaves(
+        params, is_leaf=lambda x: x is None
+    )
     if len(flat_priors) != len(flat_params):
-        raise ValueError("priors tree must match params tree leaf-for-leaf (use None)")
+        raise ValueError(
+            f"priors tree must mirror the params tree leaf-for-leaf "
+            f"({len(flat_priors)} vs {len(flat_params)} leaves — use None "
+            f"for unpriored slots)")
     for pr, v in zip(flat_priors, flat_params):
         if isinstance(pr, Prior):
+            if v is None:
+                raise ValueError("a Prior was placed on a None parameter slot")
             total = total + jnp.sum(pr.lnpdf(jnp.asarray(v)))
     return jnp.asarray(total)

@@ -45,10 +45,16 @@ class PhaseTimer:
     def sync(x):
         """Device->host barrier: forces the enqueued computation to finish
         before the phase closes (block_until_ready may return early on the
-        tunnel backend)."""
+        tunnel backend). Slices ONE element ON DEVICE before the host read —
+        np.asarray(x) would materialize the whole array through the tunnel
+        (~10 s for a Gram-sized output, CLAUDE.md hazards) and attribute the
+        transfer to the phase being timed."""
         import numpy as np
 
-        np.asarray(x).ravel()[:1]
+        try:
+            np.asarray(x.ravel()[0:1])  # device-side slice, 1-element transfer
+        except AttributeError:  # plain host values (floats, numpy scalars)
+            np.asarray(x)
         return x
 
     def report(self) -> str:
