@@ -326,3 +326,49 @@ def test_warp_tail_log_with_padding(data1d):
     np.testing.assert_allclose(lml_pad, lml, rtol=1e-10)
     mu, v = m_pad.predict(jnp.asarray(X[:4]), median=True)
     assert np.all(np.isfinite(np.asarray(mu)))
+
+
+def test_state_space_input_validation(rng):
+    """Round-4 hardening: (a) d>1 inputs must raise (a silent reshape(-1,1)
+    produced finite-garbage LMLs), (b) origin-at-zero families must reject
+    negative times (negative process noise -> NaN LML, finite-garbage
+    predictions)."""
+    import pytest as _pytest
+
+    from gaussian_process_optimization_tpu.models.state_space import StateSpaceGP
+
+    X2 = rng.standard_normal((10, 2))
+    y = rng.standard_normal((10, 1))
+    with _pytest.raises(ValueError, match="1-D"):
+        StateSpaceGP.create(X2, y)
+    with _pytest.raises(ValueError, match="t=0"):
+        StateSpaceGP.create(np.array([-0.5, 0.2, 0.7]),
+                            rng.standard_normal((3, 1)), family="brownian")
+    # mismatched lengths
+    with _pytest.raises(ValueError, match="mismatch"):
+        StateSpaceGP.create(np.arange(4.0), rng.standard_normal((3, 1)))
+
+
+def test_packer_leaf_count_mismatch_raises(rng):
+    """Round-4 hardening: pack() on a structurally different tree must raise
+    instead of zip-truncating (quietly excluding parameters)."""
+    import pytest as _pytest
+
+    from gaussian_process_optimization_tpu.utils.packing import Packer
+
+    p = Packer({"a": jnp.ones(2), "b": jnp.ones(3)})
+    with _pytest.raises(ValueError, match="leaves"):
+        p.pack({"a": jnp.ones(2), "b": jnp.ones(3), "c": jnp.ones(4)})
+
+
+def test_log_prior_none_slots(rng):
+    """Round-4 hardening: priors trees mirroring params with None in the same
+    slots (incl. params' own None slots) are the documented usage and must
+    work."""
+    from gaussian_process_optimization_tpu.utils import priors as pr
+
+    params = {"v": jnp.asarray(2.0), "mask": None}
+    ps = {"v": pr.GaussianPrior(mu=0.0, sigma=1.0), "mask": None}
+    got = float(pr.log_prior(ps, params))
+    want = float(pr.GaussianPrior(mu=0.0, sigma=1.0).lnpdf(jnp.asarray(2.0)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
