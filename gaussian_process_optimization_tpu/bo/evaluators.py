@@ -126,6 +126,29 @@ class ThompsonBatch(SamplingBasedBatchEvaluator):
     def __init__(self, acquisition, batch_size):
         super().__init__(acquisition, batch_size)
         self.model = acquisition.model
+        # per-acquisition jitted anchor solver (weak-keyed like
+        # AcquisitionOptimizer._jit_cache): building the L-BFGS closure per
+        # anchor baked the posterior arrays into the HLO as constants — a full
+        # XLA recompile per anchor per suggest call
+        import weakref
+
+        self._jit_cache = weakref.WeakKeyDictionary()
+
+    def _anchor_solver(self, acq):
+        if acq not in self._jit_cache:
+            from ..ops import lbfgs as lbfgs_mod
+
+            maxiter = acq.optimizer.maxiter
+
+            def solve(gp, post, fmin, state, a, lo, hi):
+                res = lbfgs_mod.minimize(
+                    lambda x: acq.pure_neg_acq(gp, post, fmin, state, x[None, :])[0],
+                    a, lower=lo, upper=hi, maxiter=maxiter, carry_vjp=False,
+                )
+                return res.x
+
+            self._jit_cache[acq] = jax.jit(solve)
+        return self._jit_cache[acq]
 
     def initialize_batch(self, duplicate_manager=None, context_manager=None):
         return None
@@ -139,8 +162,6 @@ class ThompsonBatch(SamplingBasedBatchEvaluator):
         """Local L-BFGS from THIS anchor, then round (batch_thompson.py:40-52)."""
         import jax.numpy as jnp
 
-        from ..ops import lbfgs
-
         acq = self.acquisition
         opt = acq.optimizer
         bounds = self.space.get_bounds()
@@ -151,12 +172,10 @@ class ThompsonBatch(SamplingBasedBatchEvaluator):
             hi[context_manager.context_index] = np.asarray(context_manager.context_value)
         if getattr(acq, "supports_device", False):
             gp, post, fmin, state = acq.device_args()
-            res = lbfgs.minimize(
-                lambda x: acq.pure_neg_acq(gp, post, fmin, state, x[None, :])[0],
-                jnp.asarray(a, dtype=float), lower=jnp.asarray(lo),
-                upper=jnp.asarray(hi), maxiter=opt.maxiter, carry_vjp=False,
-            )
-            x = np.asarray(res.x)
+            solve = self._anchor_solver(acq)
+            x = np.asarray(solve(gp, post, fmin, state,
+                                 jnp.asarray(a, dtype=float), jnp.asarray(lo),
+                                 jnp.asarray(hi)))
         else:
             import scipy.optimize
 
@@ -176,10 +195,38 @@ class ThompsonBatch(SamplingBasedBatchEvaluator):
         ])
 
 
+def _neg_grad_norm(gp, post, x):
+    """-|grad mu(x)| of the posterior-mean surface (the LP Lipschitz objective)."""
+    def mean_at(xx):
+        mu, _ = gp.predict(xx[None, :], posterior=post)
+        return mu[0, 0]
+
+    g = jax.grad(mean_at)(x)
+    return -jnp.sqrt(jnp.sum(jnp.square(g)) + 1e-300)
+
+
+@jax.jit
+def _grad_norm_sweep(gp, post, samples):
+    return jax.vmap(lambda x: _neg_grad_norm(gp, post, x))(samples)
+
+
+@jax.jit
+def _grad_norm_refine(gp, post, x0, lo, hi):
+    res = lbfgs.minimize(lambda x: _neg_grad_norm(gp, post, x), x0,
+                         lower=lo, upper=hi, maxiter=200, carry_vjp=False)
+    return res.f
+
+
 def estimate_L(model, bounds, seed=0):
     """Lipschitz estimate: max |grad mu(x)| over 500 uniform samples + the training
     inputs, refined by L-BFGS; floor L=10 when < 1e-7
-    (batch_local_penalization.py:52-76). One jitted vmapped program on device."""
+    (batch_local_penalization.py:52-76). One jitted vmapped program on device.
+
+    The two device programs are MODULE-LEVEL jits taking (gp, post) as pytree
+    ARGUMENTS: building them as per-call closures baked the posterior arrays into
+    the HLO as constants, so every ask-tell iteration paid a full XLA recompile
+    (~2.4 s CPU / much worse through the TPU remote-compile service) for programs
+    whose shapes never changed."""
     gp = model.model
     post = getattr(model, "posterior", None)
     if post is None:
@@ -197,19 +244,11 @@ def estimate_L(model, bounds, seed=0):
         X_train = X_train[np.asarray(gp.mask) > 0]
     samples = np.vstack([samples, X_train])
 
-    def neg_grad_norm(x):
-        def mean_at(xx):
-            mu, _ = gp.predict(xx[None, :], posterior=post)
-            return mu[0, 0]
-
-        g = jax.grad(mean_at)(x)
-        return -jnp.sqrt(jnp.sum(jnp.square(g)) + 1e-300)
-
-    vals = jax.jit(jax.vmap(neg_grad_norm))(jnp.asarray(samples))
+    vals = _grad_norm_sweep(gp, post, jnp.asarray(samples))
     x0 = samples[int(np.argmin(np.asarray(vals)))]
-    res = lbfgs.minimize(neg_grad_norm, jnp.asarray(x0), lower=jnp.asarray(lo),
-                         upper=jnp.asarray(hi), maxiter=200, carry_vjp=False)
-    L = float(-res.f)
+    f_ref = _grad_norm_refine(gp, post, jnp.asarray(x0), jnp.asarray(lo),
+                              jnp.asarray(hi))
+    L = float(-f_ref)
     if L < 1e-7:
         L = 10.0  # to avoid problems in cases in which the model is flat
     return L

@@ -124,6 +124,22 @@ def test_bo_mixed_space_gower_lp_batch():
 
     assert isinstance(bo.model.model.kern, Gower)
 
+    # regression (round 4): the LP Lipschitz programs are module-level jits
+    # taking (gp, post) as ARGUMENTS — a second ask-tell call with same-shape
+    # data must hit the jit cache, not re-trace/re-compile (the per-call
+    # closure version baked the posterior arrays into the HLO as constants and
+    # paid a full XLA recompile every suggest call)
+    from gaussian_process_optimization_tpu.bo import evaluators as ev
+
+    sweep_size = ev._grad_norm_sweep._cache_size()
+    refine_size = ev._grad_norm_refine._cache_size()
+    assert sweep_size >= 1 and refine_size >= 1  # LP path exercised them
+    bo.Y = bo.Y + 0.01  # same shapes, new values
+    batch2 = bo.suggest_next_locations()
+    assert batch2.shape == (3, 2)
+    assert ev._grad_norm_sweep._cache_size() == sweep_size
+    assert ev._grad_norm_refine._cache_size() == refine_size
+
 
 def test_bo_with_constraints_and_context():
     def f(x):
