@@ -120,6 +120,29 @@ def main():
         return (jnp.sum(v) + jnp.sum(g)) * 1e-20 + c
     slope(lml_vg, jnp.float32(0.0), label="LML value+grad (B=5 vmapped)")
 
+    # 3b) TRUE per-fit-step cost via maxiter slope: two Fitter programs at
+    # maxiter=10/30, median-of-3 each, slope = per-step wall cost of the real
+    # line-searched L-BFGS step (incl. while_loop/carry/two-loop overhead).
+    # Compare against (trials x LML value + 1 backward) from sections above to
+    # localize the structural residue (BASELINE.md round-3: ~20 ms/step).
+    fit_ts = {}
+    for mi in (10, 30):
+        fitter = fit_mod.Fitter(model, num_restarts=B, maxiter=mi, tol=0.0)
+        fitted, res = fitter(model, jax.random.PRNGKey(0))  # compile
+        float(fitted.kern.variance)
+        reps = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            fitted, res = fitter(model, jax.random.PRNGKey(1 + r))
+            float(fitted.kern.variance)
+            reps.append(time.perf_counter() - t0)
+        fit_ts[mi] = float(np.median(reps))
+        n_ls = np.asarray(res.num_ls, dtype=float) if res.num_ls is not None else None
+        print(f"fit maxiter={mi:<3d} median {fit_ts[mi]:.3f}s   num_ls/lane="
+              f"{n_ls.tolist() if n_ls is not None else 'n/a'}")
+    print(f"{'fit per-step (maxiter slope)':<42s} "
+          f"{(fit_ts[30] - fit_ts[10]) / 20 * 1e3:8.2f} ms")
+
     # 4) Sparse VarDTC at BASELINE config-4 scale (N=50k, M=256): round-2
     # measured 368 ms per fit step — orders of magnitude above the ~3 GFLOP
     # floor of A = Lm^-1 Kmn and A A^T. Decompose: bound value, value+grad.

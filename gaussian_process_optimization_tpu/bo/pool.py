@@ -9,11 +9,28 @@ device argmaxes.
 """
 from __future__ import annotations
 
+import weakref
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .acquisitions import AcquisitionLP
 from .evaluators import estimate_L
+
+# per-acquisition jitted pool scorer (weak-keyed like
+# AcquisitionOptimizer._jit_cache): calling pure_neg_acq eagerly dispatched
+# ~10 small programs per score_pool call — each ~25 ms through the TPU tunnel
+_score_jits = weakref.WeakKeyDictionary()
+
+
+def _pool_scorer(acquisition):
+    if acquisition not in _score_jits:
+        def score(gp, post, fmin, state, X):
+            return acquisition.pure_neg_acq(gp, post, fmin, state, X)
+
+        _score_jits[acquisition] = jax.jit(score)
+    return _score_jits[acquisition]
 
 
 def score_pool(acquisition, pool_obj, space):
@@ -22,7 +39,7 @@ def score_pool(acquisition, pool_obj, space):
     Xm = space.unzip_inputs(pool_obj)
     gp, post, fmin, state = acquisition.device_args()
     scores = np.asarray(
-        acquisition.pure_neg_acq(gp, post, fmin, state, jnp.asarray(Xm, dtype=float))
+        _pool_scorer(acquisition)(gp, post, fmin, state, jnp.asarray(Xm, dtype=float))
     )
     if space.has_constraints():
         ind = space.indicator_constraints(Xm).flatten()

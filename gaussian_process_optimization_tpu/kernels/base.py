@@ -147,11 +147,19 @@ class Prod(Kernel):
     parts: tuple = ()
 
     def K(self, X, X2=None):
-        out = None
-        for p in self.parts:
-            k = p.K(X, X2)
-            out = k if out is None else out * k
-        return out
+        import jax
+
+        # rematerialized: the product chain's autodiff residuals are two (N,N)
+        # operand buffers per part (see kernels/gower.py Gower.K) — remat keeps
+        # the fit's vjp-carrying line search from hauling them in its carry
+        def build(kern, X, X2):
+            out = None
+            for p in kern.parts:
+                k = p.K(X, X2)
+                out = k if out is None else out * k
+            return out
+
+        return jax.checkpoint(build)(self, X, X2)
 
     def Kdiag(self, X):
         out = None

@@ -59,30 +59,41 @@ class Gower(Kernel):
         return ls
 
     def K(self, X, X2=None):
+        import jax
+
         X = self._slice(X)
         X2c = X if X2 is None else self._slice(X2)
-        base = self.base
-        if self.gpy_compat:
-            k_of_r = base.K_of_r
-        else:
-            unit = dataclasses.replace(base, variance=jnp.ones_like(base.variance))
-            k_of_r = unit.K_of_r
 
-        out = None
-        ndims = sorted(self.cont_dims) + sorted(self.disc_dims)
-        cont_index = {d: i for i, d in enumerate(sorted(self.cont_dims))}
-        for d in ndims:
-            if d in cont_index:
-                r = jnp.abs(X[:, None, d] - X2c[None, :, d]) / self.ranges[cont_index[d]]
+        # rematerialized (jax.checkpoint): the per-dim product chain's autodiff
+        # residuals are several (N,N) buffers PER DIM (operands of each multiply
+        # plus K_of_r intermediates) — in the fit's vjp-carrying line search
+        # those ride the while_loop carry (~GBs at N=4096, B=5 restarts, D=6).
+        # Remat re-runs this ~1.4 ms forward during the backward instead.
+        def build(kern, X, X2c):
+            base = kern.base
+            if kern.gpy_compat:
+                k_of_r = base.K_of_r
             else:
-                r = (X[:, None, d] != X2c[None, :, d]).astype(X.dtype)
-            if not self.gpy_compat:
-                r = r / self._ls(d)
-            k = k_of_r(r)
-            out = k if out is None else out * k
-        if not self.gpy_compat:
-            out = base.variance * out
-        return out
+                unit = dataclasses.replace(base, variance=jnp.ones_like(base.variance))
+                k_of_r = unit.K_of_r
+
+            out = None
+            ndims = sorted(kern.cont_dims) + sorted(kern.disc_dims)
+            cont_index = {d: i for i, d in enumerate(sorted(kern.cont_dims))}
+            for d in ndims:
+                if d in cont_index:
+                    r = jnp.abs(X[:, None, d] - X2c[None, :, d]) / kern.ranges[cont_index[d]]
+                else:
+                    r = (X[:, None, d] != X2c[None, :, d]).astype(X.dtype)
+                if not kern.gpy_compat:
+                    r = r / kern._ls(d)
+                k = k_of_r(r)
+                out = k if out is None else out * k
+            if not kern.gpy_compat:
+                out = base.variance * out
+            return out
+
+        return jax.checkpoint(build)(self, X, X2c)
 
     def Kdiag(self, X):
         # gpy_compat: the reference's Kdiag goes through the standard stationary path

@@ -36,6 +36,34 @@ def _bucket(n: int, minimum: int = 16) -> int:
     return max(minimum, 2 ** math.ceil(math.log2(max(n, 1))))
 
 
+# Module-level jitted predict programs (gp/post as pytree ARGUMENTS so the
+# compiled code is shared across refits): the eager method chain dispatched
+# ~10 small programs per call, and through the single-client TPU tunnel each
+# dispatch costs ~25 ms — an eager predict in a host loop (LP update_batches,
+# get_fmin, pool scoring) was ~100x slower than its device cost.
+@jax.jit
+def _predict_mean_std(gp, post, X, floor):
+    mu, v = gp.predict(X, posterior=post)
+    return mu, jnp.sqrt(jnp.clip(v, floor, None))
+
+
+@jax.jit
+def _predict_with_gradients(gp, post, X, floor):
+    mu, v = gp.predict(X, posterior=post)
+    v = jnp.clip(v, floor, None)
+    s = jnp.sqrt(v)
+    dm, dv = gp.predictive_gradients(X, posterior=post)
+    return mu, s, dm[:, :, 0], dv / (2.0 * s)
+
+
+@jax.jit
+def _fmin_device(gp, post):
+    mu, _ = gp.predict(gp.X, posterior=post)
+    if gp.mask is not None:
+        mu = jnp.where(gp.mask[:, None] > 0, mu, jnp.inf)
+    return jnp.min(mu)
+
+
 class BOModel:
     """Abstract surrogate interface (GPyOpt models/base.py)."""
 
@@ -183,9 +211,10 @@ class GPModel(BOModel):
     def predict(self, X):
         """(mean, STD) with variance floored at 1e-10 (gpmodel.py:102-124)."""
         X = np.atleast_2d(X)
-        mu, v = self.model.predict(jnp.asarray(X, dtype=float), posterior=self.posterior)
-        v = jnp.clip(v, config.variance_floor, None)
-        return np.asarray(mu), np.asarray(jnp.sqrt(v))
+        mu, s = _predict_mean_std(self.model, self.posterior,
+                                  jnp.asarray(X, dtype=float),
+                                  config.variance_floor)
+        return np.asarray(mu), np.asarray(s)
 
     def predict_covariance(self, X):
         _, cov = self.model.predict(jnp.asarray(np.atleast_2d(X), dtype=float),
@@ -195,22 +224,15 @@ class GPModel(BOModel):
     def predict_withGradients(self, X):
         """(m, s, dm/dx, ds/dx); ds = dv/dx / (2 s) (gpmodel.py:131-141)."""
         X = jnp.asarray(np.atleast_2d(X), dtype=float)
-        mu, v = self.model.predict(X, posterior=self.posterior)
-        v = jnp.clip(v, config.variance_floor, None)
-        s = jnp.sqrt(v)
-        dm, dv = self.model.predictive_gradients(X, posterior=self.posterior)
-        dm = dm[:, :, 0]
-        ds = dv / (2.0 * s)
+        mu, s, dm, ds = _predict_with_gradients(self.model, self.posterior, X,
+                                                config.variance_floor)
         return np.asarray(mu), np.asarray(s), np.asarray(dm), np.asarray(ds)
 
     def get_fmin(self):
         """Min posterior mean at the training points (gpmodel.py:125-129), cached
         per refit."""
         if getattr(self, "_fmin", None) is None:
-            mu, _ = self.model.predict(self.model.X, posterior=self.posterior)
-            if self.model.mask is not None:
-                mu = jnp.where(self.model.mask[:, None] > 0, mu, jnp.inf)
-            self._fmin = float(jnp.min(mu))
+            self._fmin = float(_fmin_device(self.model, self.posterior))
         return self._fmin
 
     def Y_min(self):

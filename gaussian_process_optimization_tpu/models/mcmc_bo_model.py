@@ -105,12 +105,24 @@ class GPModel_MCMC(BOModel):
 
                 return jax.vmap(one)(stacked)
 
+            def batched_predict_grads(stacked, X):
+                def one(mdl):
+                    post = mdl.inference()
+                    mu, v = mdl.predict(X, posterior=post)
+                    v = jnp.clip(v, config.variance_floor, None)
+                    s = jnp.sqrt(v)
+                    dm, dv = mdl.predictive_gradients(X, posterior=post)
+                    return mu, s, dm[:, :, 0], dv / (2.0 * s)
+
+                return jax.vmap(one)(stacked)
+
             self._programs[bucket] = dict(
                 packer=packer, fitter=fitter,
                 run_hmc=jax.jit(run_hmc, static_argnames=("num_samples",)),
                 stack=jax.jit(stack_models),
                 predict=jax.jit(batched_predict),
                 fmin=jax.jit(batched_fmin),
+                predict_grads=jax.jit(batched_predict_grads),
             )
         return self._programs[bucket]
 
@@ -173,16 +185,7 @@ class GPModel_MCMC(BOModel):
 
     def predict_withGradients(self, X):
         X = jnp.asarray(np.atleast_2d(X), dtype=float)
-
-        def one(mdl):
-            post = mdl.inference()
-            mu, v = mdl.predict(X, posterior=post)
-            v = jnp.clip(v, config.variance_floor, None)
-            s = jnp.sqrt(v)
-            dm, dv = mdl.predictive_gradients(X, posterior=post)
-            return mu, s, dm[:, :, 0], dv / (2.0 * s)
-
-        mus, stds, dms, dss = jax.vmap(one)(self._stacked)
+        mus, stds, dms, dss = self._prog["predict_grads"](self._stacked, X)
         return (list(np.asarray(mus)), list(np.asarray(stds)),
                 list(np.asarray(dms)), list(np.asarray(dss)))
 

@@ -64,25 +64,26 @@ class SparseGPModel(BOModel):
         self._fmin = None
 
     def predict(self, X):
-        mu, v = self.model.predict(jnp.asarray(np.atleast_2d(X), dtype=float),
-                                   posterior=self.posterior)
-        v = jnp.clip(v, config.variance_floor, None)
-        return np.asarray(mu), np.asarray(jnp.sqrt(v))
+        from .bo_models import _predict_mean_std
+
+        mu, s = _predict_mean_std(self.model, self.posterior,
+                                  jnp.asarray(np.atleast_2d(X), dtype=float),
+                                  config.variance_floor)
+        return np.asarray(mu), np.asarray(s)
 
     def predict_withGradients(self, X):
+        from .bo_models import _predict_with_gradients
+
         X = jnp.asarray(np.atleast_2d(X), dtype=float)
-        mu, v = self.model.predict(X, posterior=self.posterior)
-        v = jnp.clip(v, config.variance_floor, None)
-        s = jnp.sqrt(v)
-        dm, dv = self.model.predictive_gradients(X, posterior=self.posterior)
-        return np.asarray(mu), np.asarray(s), np.asarray(dm[:, :, 0]), np.asarray(dv / (2.0 * s))
+        mu, s, dm, ds = _predict_with_gradients(self.model, self.posterior, X,
+                                                config.variance_floor)
+        return np.asarray(mu), np.asarray(s), np.asarray(dm), np.asarray(ds)
 
     def get_fmin(self):
         if getattr(self, "_fmin", None) is None:
-            mu, _ = self.model.predict(self.model.X, posterior=self.posterior)
-            if self.model.mask is not None:
-                mu = jnp.where(self.model.mask[:, None] > 0, mu, jnp.inf)
-            self._fmin = float(jnp.min(mu))
+            from .bo_models import _fmin_device
+
+            self._fmin = float(_fmin_device(self.model, self.posterior))
         return self._fmin
 
     def Y_min(self):

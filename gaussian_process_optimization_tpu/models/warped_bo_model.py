@@ -14,6 +14,37 @@ from .fit import Fitter
 from .warped import InputWarpedGP, WarpedGP
 
 
+# Module-level jitted predict programs (see bo_models._predict_mean_std for
+# why: eager method chains cost ~25 ms per dispatched op through the TPU
+# tunnel, and the per-call vmap/grad closures also re-traced every call).
+@jax.jit
+def _warped_predict(m, post, X, floor):
+    mu, v = m.predict(X, posterior=post)
+    return mu, jnp.sqrt(jnp.clip(v, floor, None))
+
+
+@jax.jit
+def _warped_predict_grads(m, post, X, floor):
+    def mu_s(x):
+        mu, v = m.predict(x[None, :], posterior=post)
+        v = jnp.clip(v, floor, None)
+        return jnp.ravel(mu)[0], jnp.sqrt(jnp.ravel(v)[0])
+
+    ms, ss = jax.vmap(mu_s)(X)
+    dm = jax.vmap(jax.grad(lambda x: mu_s(x)[0]))(X)
+    ds = jax.vmap(jax.grad(lambda x: mu_s(x)[1]))(X)
+    return ms, ss, dm, ds
+
+
+@jax.jit
+def _warped_fmin(m, post):
+    mu, _ = m.predict(m.gp.X, posterior=post)
+    mu = jnp.ravel(mu)
+    if m.gp.mask is not None:
+        mu = jnp.where(m.gp.mask > 0, mu, jnp.inf)
+    return jnp.min(mu)
+
+
 class _WarpedBase(BOModel):
     analytical_gradient_prediction = False  # gradients via autodiff on demand
 
@@ -55,33 +86,22 @@ class _WarpedBase(BOModel):
         self._post = self.model.posterior_cache()
 
     def predict(self, X):
-        mu, v = self.model.predict(jnp.asarray(np.atleast_2d(X), dtype=float),
-                                   posterior=self._post)
-        v = jnp.clip(v, config.variance_floor, None)
-        return np.asarray(mu).reshape(len(np.atleast_2d(X)), -1), np.asarray(jnp.sqrt(v)).reshape(len(np.atleast_2d(X)), -1)
+        X2 = np.atleast_2d(X)
+        mu, s = _warped_predict(self.model, self._post,
+                                jnp.asarray(X2, dtype=float),
+                                config.variance_floor)
+        return (np.asarray(mu).reshape(len(X2), -1),
+                np.asarray(s).reshape(len(X2), -1))
 
     def predict_withGradients(self, X):
         X = jnp.asarray(np.atleast_2d(X), dtype=float)
-        post = self._post
-
-        def mu_s(x):
-            mu, v = self.model.predict(x[None, :], posterior=post)
-            v = jnp.clip(v, config.variance_floor, None)
-            return jnp.ravel(mu)[0], jnp.sqrt(jnp.ravel(v)[0])
-
-        m_and_s = jax.vmap(mu_s)(X)
-        dm = jax.vmap(jax.grad(lambda x: mu_s(x)[0]))(X)
-        ds = jax.vmap(jax.grad(lambda x: mu_s(x)[1]))(X)
-        return (np.asarray(m_and_s[0])[:, None], np.asarray(m_and_s[1])[:, None],
+        m, s, dm, ds = _warped_predict_grads(self.model, self._post, X,
+                                             config.variance_floor)
+        return (np.asarray(m)[:, None], np.asarray(s)[:, None],
                 np.asarray(dm), np.asarray(ds))
 
     def get_fmin(self):
-        gpX = self.model.gp.X
-        mu, _ = self.model.predict(gpX, posterior=self._post)
-        mu = jnp.ravel(mu)
-        if self.model.gp.mask is not None:
-            mu = jnp.where(self.model.gp.mask > 0, mu, jnp.inf)
-        return float(jnp.min(mu))
+        return float(_warped_fmin(self.model, self._post))
 
 
 class WarpedGPModel(_WarpedBase):

@@ -3,6 +3,7 @@ normalization (Y-mean)/std used by the BO loop, GPyOpt/GPyOpt/util/general.py:20
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .pytree import pytree_dataclass
 
@@ -36,8 +37,13 @@ class Standardize:
 
 def normalize_stats(Y):
     """GPyOpt 'stats' normalization (util/general.py:211): (Y - mean)/std, with the
-    degenerate all-equal case falling back to mean-centering."""
-    Y = jnp.asarray(Y)
-    m = jnp.mean(Y)
-    s = jnp.std(Y)
-    return jnp.where(s > 0, (Y - m) / s, Y - m)
+    degenerate all-equal case falling back to mean-centering.
+
+    Host numpy on purpose: this is per-iteration data prep in the BO loop
+    (bo_loop._update_model), and the eager-jnp version cost several device
+    dispatches (~25 ms each through the TPU tunnel) plus a device->host fetch
+    per suggest call for microseconds of math."""
+    Y = np.asarray(Y)
+    m = float(np.mean(Y))
+    s = float(np.std(Y))
+    return (Y - m) / s if s > 0 else Y - m
