@@ -217,6 +217,11 @@ def _grad_norm_refine(gp, post, x0, lo, hi):
     return res.f
 
 
+@jax.jit
+def _point_inference(gp):
+    return gp.inference(precompute_inverse=False)
+
+
 def estimate_L(model, bounds, seed=0):
     """Lipschitz estimate: max |grad mu(x)| over 500 uniform samples + the training
     inputs, refined by L-BFGS; floor L=10 when < 1e-7
@@ -233,7 +238,7 @@ def estimate_L(model, bounds, seed=0):
         # surrogates without a cached single posterior (GPModel_MCMC keeps a
         # stacked sample chain instead): factor the point-estimate model once —
         # the Lipschitz constant only needs the mean surface's scale
-        post = gp.inference(precompute_inverse=False)
+        post = _point_inference(gp)
 
     lo = np.asarray([b[0] for b in bounds], dtype=float)
     hi = np.asarray([b[1] for b in bounds], dtype=float)

@@ -15,6 +15,12 @@ from .fit import Fitter
 from .sparse import SparseGPRegression
 
 
+@jax.jit
+def _sparse_inference_device(m):
+    # jitted per-refit posterior factorization (see bo_models._inference_device)
+    return m.inference_state()
+
+
 class SparseGPModel(BOModel):
     analytical_gradient_prediction = True
 
@@ -60,7 +66,7 @@ class SparseGPModel(BOModel):
             )
         self._key, sub = jax.random.split(self._key)
         self.model, _ = self._fitters[bucket](self.model, sub)
-        self.posterior = self.model.inference_state()
+        self.posterior = _sparse_inference_device(self.model)
         self._fmin = None
 
     def predict(self, X):

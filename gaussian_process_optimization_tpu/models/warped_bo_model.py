@@ -37,6 +37,12 @@ def _warped_predict_grads(m, post, X, floor):
 
 
 @jax.jit
+def _warped_posterior(m):
+    # jitted per-refit posterior factorization (see bo_models._inference_device)
+    return m.posterior_cache()
+
+
+@jax.jit
 def _warped_fmin(m, post):
     mu, _ = m.predict(m.gp.X, posterior=post)
     mu = jnp.ravel(mu)
@@ -83,7 +89,7 @@ class _WarpedBase(BOModel):
         self.model, _ = self._fitters[bucket](self.model, sub)
         # one Cholesky per refit; every predict below reuses it (GPModel keeps
         # the same invariant via self.posterior)
-        self._post = self.model.posterior_cache()
+        self._post = _warped_posterior(self.model)
 
     def predict(self, X):
         X2 = np.atleast_2d(X)
