@@ -38,25 +38,32 @@ def main():
     A0 = rng.standard_normal((B, N, 32)).astype(np.float32)
     Ky = jnp.asarray(A0 @ np.swapaxes(A0, 1, 2) + (N / 8) * np.eye(N, dtype=np.float32))
 
-    def slope(make_body, carry0, trips=(4, 12), label=""):
-        """Wall time per op iteration via two fori_loop trip counts."""
+    def slope(make_body, carry0, trips=(4, 12), label="", operands=()):
+        """Wall time per op iteration via two fori_loop trip counts.
+
+        `operands`: the big arrays the body reads. They MUST be jit ARGUMENTS,
+        not Python closures — closed-over device arrays are baked into the HLO
+        as literal constants, and a Gram-sized constant (B x N x N f32 = 335 MB)
+        blows the remote-compile service's request-size limit (HTTP 413).
+        make_body(i, c, *operands)."""
         def prog(n_trips):
             @jax.jit
-            def run(c0):
-                return lax.fori_loop(0, n_trips, make_body, c0)
+            def run(c0, *ops):
+                return lax.fori_loop(
+                    0, n_trips, lambda i, c: make_body(i, c, *ops), c0)
             return run
 
         ts = {}
         for nt in trips:
             run = prog(nt)
-            c = run(carry0)
+            c = run(carry0, *operands)
             float(jnp.sum(c))  # warm + compile; device->host read as barrier
             reps = []
             for r in range(3):
                 t0 = time.perf_counter()
                 # fresh input EVERY call (the tunnel coalesces identical
                 # (program, args) executions)
-                c = run(carry0 + 1e-6 * (r + 1))
+                c = run(carry0 + 1e-6 * (r + 1), *operands)
                 float(jnp.sum(c))
                 reps.append(time.perf_counter() - t0)
             ts[nt] = float(np.median(reps))
@@ -68,36 +75,40 @@ def main():
     L = jnp.linalg.cholesky(Ky)
 
     # 1) Cholesky variants
-    def chol_xla(i, c):
+    def chol_xla(i, c, Ky):
         return jnp.sum(jnp.linalg.cholesky(Ky + c * 1e-12)) * 1e-20 + c
-    slope(chol_xla, jnp.float32(0.0), label="cholesky XLA batched (B=5,N=4096)")
+    slope(chol_xla, jnp.float32(0.0), operands=(Ky,),
+          label="cholesky XLA batched (B=5,N=4096)")
 
     for nb in (256, 512):
-        def chol_blk(i, c, nb=nb):
+        def chol_blk(i, c, Ky, nb=nb):
             return jnp.sum(linalg.blocked_cholesky(Ky + c * 1e-12, nb=nb)) * 1e-20 + c
-        slope(chol_blk, jnp.float32(0.0), label=f"blocked_cholesky nb={nb}")
+        slope(chol_blk, jnp.float32(0.0), operands=(Ky,),
+              label=f"blocked_cholesky nb={nb}")
 
     # 2) 1-rhs triangular solve variants
-    def solve_xla(i, c):
+    def solve_xla(i, c, L, Yc):
         return jnp.sum(linalg.solve_lower(L, Yc + c * 1e-12)) * 1e-20 + c
-    slope(solve_xla, jnp.float32(0.0), label="solve_lower XLA (1 rhs)")
+    slope(solve_xla, jnp.float32(0.0), operands=(L, Yc),
+          label="solve_lower XLA (1 rhs)")
 
     for nb in (256, 512, 1024):
-        def solve_blk(i, c, nb=nb):
+        def solve_blk(i, c, L, Yc, nb=nb):
             return jnp.sum(linalg.blocked_solve_lower(L, Yc + c * 1e-12, nb=nb)) * 1e-20 + c
-        slope(solve_blk, jnp.float32(0.0), label=f"blocked_solve_lower nb={nb}")
+        slope(solve_blk, jnp.float32(0.0), operands=(L, Yc),
+              label=f"blocked_solve_lower nb={nb}")
 
     # 2b) backward-pass constituents (tri_inv_lower + tri_tdot dominate the
     # _exact_core pullback)
-    def tri_inv(i, c):
+    def tri_inv(i, c, L):
         return jnp.sum(linalg.tri_inv_lower(L + c * 1e-12)) * 1e-20 + c
-    slope(tri_inv, jnp.float32(0.0), label="tri_inv_lower (D&C)")
+    slope(tri_inv, jnp.float32(0.0), operands=(L,), label="tri_inv_lower (D&C)")
 
     Li0 = linalg.tri_inv_lower(L)
 
-    def tri_td(i, c):
+    def tri_td(i, c, Li0):
         return jnp.sum(linalg.tri_tdot(Li0 + c * 1e-12)) * 1e-20 + c
-    slope(tri_td, jnp.float32(0.0), label="tri_tdot (lauum-blocked)")
+    slope(tri_td, jnp.float32(0.0), operands=(Li0,), label="tri_tdot (lauum-blocked)")
 
     # 3) LML value and value+grad (the line-search trial and accept costs)
     Xh, Yh = rng.uniform(-2, 2, (N, D)), rng.standard_normal((N, 1))
