@@ -114,11 +114,18 @@ def run_ours():
     fitted, _ = fitter(model, jax.random.PRNGKey(0))  # compile
     float(fitted.kern.variance)
     fit_times = []
+    num_ls = None
     for i in range(3):
         t0 = time.perf_counter()
-        fitted, _ = fitter(model, jax.random.PRNGKey(1 + i))
+        fitted, res = fitter(model, jax.random.PRNGKey(1 + i))
         float(fitted.kern.variance)
         fit_times.append(time.perf_counter() - t0)
+        # per-lane line-search trial counts: each trial is a full batched
+        # forward and the batch pays the MAX over lanes per step, so this is
+        # the data-dependent part of the fit cost (prof_ops 3b measures the
+        # same fit at ~50 ms/step on noise data; structured data backtracks
+        # more) — recorded so a fit-time swing is explainable from the JSON
+        num_ls = np.asarray(res.num_ls).tolist()
     t_fit = float(np.median(fit_times))
 
     # ---- ACQ ----
@@ -150,6 +157,8 @@ def run_ours():
         xs, fs = jax.vmap(solve)(anchors)
         best = jnp.argmin(fs)
         return xs[best], fs[best]
+
+    run_ours.num_ls = num_ls  # surfaced into detail by main()
 
     out = acq_argmax(jax.random.PRNGKey(1))  # compile
     float(out[1])
@@ -399,6 +408,8 @@ def main():
         "detail": {
             "ours_fit_s": round(ours_fit, 4),
             "ours_acq_s": round(ours_acq, 4),
+            # per-lane line-search forwards over the 30 fit steps (see run_ours)
+            "fit_num_ls": getattr(run_ours, "num_ls", None),
             # thesis pipeline hot path: mixed-Gower LP batch-5 iteration
             # (fit + estimate_L + 5 penalized argmaxes), warm median
             "gower_lp_batch_s": round(t_gower_lp, 4),

@@ -262,16 +262,34 @@ ALL_PARTS = ("batch", "pool", "equation", "surrogate_rmse")
 def run_backend(cpu, x64=True, parts=ALL_PARTS):
     code = CHILD.format(root=str(ROOT), cpu=cpu, x64=x64, seeds=SEEDS,
                         iters=ITERS, batch=BATCH, parts=tuple(parts))
-    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=4 * 3600)
-    for line in res.stdout.splitlines():
-        if line.startswith("#"):
-            print(line, flush=True)
-        if line.startswith("RESULT::"):
-            return json.loads(line[len("RESULT::"):])
-    print(res.stdout[-3000:], file=sys.stderr)
-    print(res.stderr[-6000:], file=sys.stderr)
-    raise RuntimeError(f"backend cpu={cpu} produced no RESULT")
+    # Stream the child's combined output to a log file INCREMENTALLY (tee) so a
+    # child killed mid-run — e.g. by the TPU tunnel dying — still leaves its
+    # progress on disk for diagnosis (the round-3/4 attempts died with
+    # "produced no RESULT" and nothing else to go on).
+    log = ROOT / "benchmarks" / "logs" / f"thesis_child_{'cpu' if cpu else 'tpu'}.log"
+    log.parent.mkdir(exist_ok=True)
+    result = None
+    with open(log, "w") as lf:
+        proc = subprocess.Popen([sys.executable, "-c", code],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+        try:
+            for line in proc.stdout:
+                lf.write(line)
+                lf.flush()
+                if line.startswith("#"):
+                    print(line.rstrip("\n"), flush=True)
+                if line.startswith("RESULT::"):
+                    result = json.loads(line[len("RESULT::"):])
+            proc.wait(timeout=4 * 3600)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+    if result is not None:
+        return result
+    raise RuntimeError(
+        f"backend cpu={cpu} produced no RESULT (rc={proc.returncode}; "
+        f"child output in {log})")
 
 
 def spearman(a, b):
