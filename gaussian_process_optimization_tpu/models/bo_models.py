@@ -26,6 +26,7 @@ import numpy as np
 from ..config import config
 from ..kernels.gower import Gower
 from ..kernels.stationary import Matern52
+from ..utils.pytree import replace
 from ..utils.transforms import Logistic
 from .fit import Fitter
 from .gp import GPRegression
@@ -163,6 +164,10 @@ class GPModel(BOModel):
             X, Y, kernel=kern, noise_var=noise,
             mean_function=self.mean_function, max_points=max_points,
         )
+        # jitchol ladder warm start (see GPRegression.jitter_hint): refreshed
+        # from Posterior.rung after every refit. Materialized here (not None)
+        # so the Fitter's pytree structure is stable from the first fit on.
+        self.model = replace(self.model, jitter_hint=jnp.zeros((), jnp.float32))
 
     def _fitter_for(self, bucket):
         if bucket not in self._fitters:
@@ -212,6 +217,15 @@ class GPModel(BOModel):
         # triangular solves on TPU (Posterior.Li); jitted — the eager chain
         # was ~10 tunnel dispatches per refit
         self.posterior = _inference_device(self.model)
+        # feed the accepted jitter rung back as the NEXT refit's ladder warm
+        # start (stays a device scalar — no host sync). The fitted params'
+        # conditioning is the best predictor of the next iteration's: the
+        # Gower/exact_feval fit re-climbed 5 rungs per line-search trial
+        # (~4 s of the 6.6 s fit) without it — benchmarks/prof_gower_fit.py.
+        if self.model.jitter_hint is not None and self.posterior.rung is not None:
+            self.model = replace(
+                self.model,
+                jitter_hint=self.posterior.rung.astype(jnp.float32))
         self._fmin = None
 
     def predict(self, X):

@@ -41,12 +41,15 @@ import math
 LOG_2_PI = math.log(2.0 * math.pi)
 
 
-def _exact_core_impl(Ky, Yc):
+def _exact_core_impl(Ky, Yc, k_hint):
     """Shared primal for _exact_core and its VJP fwd: returns (outputs, residuals)
     so the two traces cannot drift numerically."""
     from ..ops import linalg as _linalg
 
-    L, jitter, ok = _linalg.jitchol(Ky)
+    # k_hint: first jitter rung to probe (min-rung binary search — the result
+    # is hint-independent; the BO wrappers carry the previous refit's rung so
+    # ill-conditioned fits pay ~2 factorizations per trial instead of rung+1)
+    L, jitter, ok, rung = _linalg.jitchol_full(Ky, k_start=k_hint)
     # blocked 1-rhs forward substitution: XLA's full-size triangular solve is
     # latency-bound at this shape (~9-10 ms of the 21.6 ms LML value pass at
     # N=4096 B=5) and this is the line-search hot path
@@ -54,11 +57,11 @@ def _exact_core_impl(Ky, Yc):
     logdet = _linalg.logdet_from_chol(L)
     quad = jnp.sum(t * t)
     alpha = _linalg.solve_lower_t(L, t)  # DCE'd when only the LML is used
-    return (logdet, quad, L, alpha, jitter, ok), (L, t)
+    return (logdet, quad, L, alpha, jitter, ok, rung), (L, t, k_hint)
 
 
 @jax.custom_vjp
-def _exact_core(Ky, Yc):
+def _exact_core(Ky, Yc, k_hint):
     """(logdet, quad, L, alpha, jitter, ok) for the exact-GP LML with the CLOSED-FORM
     pullback: d(logdet)/dKy = Ky^-1, d(quad)/dKy = -alpha alpha^T, d(quad)/dYc =
     2 alpha — exactly GPy's dL_dK = 0.5(alpha alpha^T - Wi)
@@ -73,17 +76,17 @@ def _exact_core(Ky, Yc):
     lazily (XLA dead-code-eliminates its second solve whenever the caller only
     consumes the LML, i.e. every fit/line-search step) and the backward pass
     rebuilds it as the matmul Li^T t from the Li it must form anyway."""
-    return _exact_core_impl(Ky, Yc)[0]
+    return _exact_core_impl(Ky, Yc, k_hint)[0]
 
 
-def _exact_core_fwd(Ky, Yc):
-    return _exact_core_impl(Ky, Yc)
+def _exact_core_fwd(Ky, Yc, k_hint):
+    return _exact_core_impl(Ky, Yc, k_hint)
 
 
 def _exact_core_bwd(res, cts):
     from ..ops import linalg as _linalg
 
-    L, t = res
+    L, t, k_hint = res
     c_logdet, c_quad = cts[0], cts[1]  # cotangents on L/alpha/jitter/ok dropped
     # gradient-only precision knob (config.grad_matmul_precision): these
     # contractions steer the optimizer but never touch predictions
@@ -98,7 +101,7 @@ def _exact_core_bwd(res, cts):
     Wi = _linalg.tri_tdot(Li, precision=prec)
     dKy = c_logdet * Wi - c_quad * jnp.matmul(alpha, alpha.T, precision=prec)
     dYc = (2.0 * c_quad) * alpha
-    return dKy, dYc
+    return dKy, dYc, jnp.zeros_like(k_hint)
 
 
 _exact_core.defvjp(_exact_core_fwd, _exact_core_bwd)
@@ -164,6 +167,9 @@ class Posterior:
     ok: jnp.ndarray = None
     lml: jnp.ndarray = None
     Li: jnp.ndarray = None  # optional L^-1 (enables matmul-path prediction)
+    # accepted jitchol ladder rung (int) — feed back as the next refit's
+    # GPRegression.jitter_hint so ill-conditioned fits skip the ladder climb
+    rung: jnp.ndarray = None
 
 
 @pytree_dataclass
@@ -183,6 +189,13 @@ class GPRegression:
     mask: jnp.ndarray = None
     mean_function: Mapping = None
     normalizer: Standardize = None
+    # first jitchol ladder rung to probe (f32 scalar; None = 0 = GPy's fresh
+    # ladder). NOT a parameter (parameters.DATA_NAMES): the BO wrappers set it
+    # to the previous refit's accepted rung (Posterior.rung) so every
+    # line-search trial of an ill-conditioned fit pays ~2 Cholesky attempts
+    # instead of re-climbing the ladder from 0 (the minimal-rung RESULT is
+    # hint-independent; see ops/linalg._jitchol_loop)
+    jitter_hint: jnp.ndarray = None
 
     # ------------------------------------------------------------------ factory
     @classmethod
@@ -258,7 +271,7 @@ class GPRegression:
                     "unknown — rebuild with GPRegression.create(..., "
                     "noise_var=<per-point variances>)")
             noise = noise[:n_old]  # strip padding; create() re-pads
-        return GPRegression.create(
+        new = GPRegression.create(
             X,
             Y,
             kernel=self.kern,
@@ -267,6 +280,9 @@ class GPRegression:
             mean_function=self.mean_function,
             max_points=max_points,
         )
+        if self.jitter_hint is not None:  # carry the ladder warm start
+            new = replace(new, jitter_hint=self.jitter_hint)
+        return new
 
     # ------------------------------------------------------------------ internals
     @property
@@ -336,14 +352,18 @@ class GPRegression:
         K = self.kern.K(self.X)
         noise = self._effective_noise(K.dtype)
         Ky = _assemble_ky(K, noise, self.mask)
-        logdet, quad, L, alpha, jitter, ok = _exact_core(Ky, Yc)
+        hint = self.jitter_hint
+        if hint is None:
+            hint = jnp.zeros((), jnp.float32)
+        logdet, quad, L, alpha, jitter, ok, rung = _exact_core(Ky, Yc, hint)
         p = Yc.shape[1]
         n_real = self.num_data
         lml = 0.5 * (-n_real * p * LOG_2_PI - p * logdet - quad)
         Li = None
         if precompute_inverse:
             Li = linalg.tri_inv_lower(L)
-        return Posterior(L=L, alpha=alpha, jitter=jitter, ok=ok, lml=lml, Li=Li)
+        return Posterior(L=L, alpha=alpha, jitter=jitter, ok=ok, lml=lml, Li=Li,
+                         rung=rung)
 
     def log_marginal_likelihood(self) -> jnp.ndarray:
         return self.inference().lml

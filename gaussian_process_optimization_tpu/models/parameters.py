@@ -36,6 +36,7 @@ DATA_NAMES = {
     "X", "Y", "mask", "ranges", "fixed_K", "mean", "std",
     "L", "alpha", "jitter", "ok", "lml",
     "lo", "hi", "num_data",
+    "jitter_hint",  # jitchol ladder warm start — state, not a parameter
 }
 
 

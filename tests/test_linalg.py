@@ -230,3 +230,75 @@ def test_tri_inv_lower_stacked_small_n(rng):
         np.testing.assert_allclose(np.asarray(Li[b]),
                                    np.linalg.inv(np.asarray(Ls[b])),
                                    rtol=1e-7, atol=1e-8)
+
+
+def test_jitchol_binary_ladder_matches_sequential(rng):
+    """The minimal-rung BINARY search must accept the same rung/jitter as
+    GPy's sequential walk (util/linalg.py:56-74): rank-deficient matrices of
+    varying severity, each checked against a numpy sequential-ladder twin."""
+    for rank, n in ((5, 40), (20, 40), (39, 40)):
+        U = rng.standard_normal((n, rank))
+        A = U @ U.T
+        L, jitter, ok = linalg.jitchol(jnp.asarray(A))
+        assert bool(ok)
+        # numpy twin: first rung whose factorization succeeds
+        base = float(np.mean(np.diag(A))) * 1e-6
+        expected = 0.0
+        for k in range(6):
+            j = 0.0 if k == 0 else base * 10.0 ** (k - 1)
+            try:
+                np.linalg.cholesky(A + j * np.eye(n))
+                expected = j
+                break
+            except np.linalg.LinAlgError:
+                continue
+        # f32/f64 Cholesky failure thresholds differ slightly; allow one rung
+        j_ours = float(jitter)
+        assert j_ours == 0.0 or expected == 0.0 or \
+            0.1 - 1e-9 <= j_ours / expected <= 10.0 + 1e-9
+
+
+def test_jitchol_hint_invariance(rng):
+    """jitchol_full(k_start=h) must return the SAME minimal rung and factor for
+    any hint h — a hint is a warm start, never a semantic change."""
+    U = rng.standard_normal((40, 10))
+    A = jnp.asarray(U @ U.T)  # needs a mid-ladder rung
+    ref_L, ref_j, ref_ok, ref_rung = linalg.jitchol_full(A)
+    assert bool(ref_ok) and int(ref_rung) > 0
+    for h in (0.0, 1.0, 2.5, 5.0):
+        L, j, ok, rung = linalg.jitchol_full(A, k_start=h)
+        assert bool(ok)
+        assert int(rung) == int(ref_rung)
+        assert float(j) == float(ref_j)
+        np.testing.assert_allclose(np.asarray(L), np.asarray(ref_L), rtol=1e-12)
+    # PD matrix: every hint still reports rung 0 / zero jitter
+    P = jnp.asarray(_random_pd(rng, 24))
+    for h in (0.0, 5.0):
+        L, j, ok, rung = linalg.jitchol_full(P, k_start=h)
+        assert bool(ok) and int(rung) == 0 and float(j) == 0.0
+
+
+def test_jitchol_rung_reporting(rng):
+    A = jnp.asarray(_random_pd(rng, 16))
+    _, _, ok, rung = linalg.jitchol_full(A)
+    assert bool(ok) and int(rung) == 0
+    _, _, ok, rung = linalg.jitchol_full(-jnp.eye(8))
+    assert not bool(ok)
+    assert int(rung) == 6  # maxtries + 1 marks all-fail
+
+
+def test_jitchol_hint_under_vmap(rng):
+    """Hinted jitchol inside a vmapped program (the fit path): per-lane ladders
+    with a shared hint still produce per-lane minimal rungs."""
+    good = _random_pd(rng, 12)
+    U = rng.standard_normal((12, 3))
+    deficient = U @ U.T
+    As = jnp.asarray(np.stack([good, deficient]))
+    h = jnp.asarray(3.0, jnp.float32)
+    L, j, ok, rung = jax.jit(
+        jax.vmap(lambda a: linalg.jitchol_full(a, k_start=h))
+    )(As)
+    assert bool(ok[0]) and bool(ok[1])
+    assert int(rung[0]) == 0 and float(j[0]) == 0.0
+    ref = linalg.jitchol_full(As[1])
+    assert int(rung[1]) == int(ref[3]) and float(j[1]) == float(ref[1])

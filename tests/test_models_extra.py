@@ -372,3 +372,39 @@ def test_log_prior_none_slots(rng):
     got = float(pr.log_prior(ps, params))
     want = float(pr.GaussianPrior(mu=0.0, sigma=1.0).lnpdf(jnp.asarray(2.0)))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_gpmodel_jitter_hint_carry():
+    """The BO wrapper feeds the accepted jitchol rung back as the next refit's
+    ladder warm start (GPRegression.jitter_hint <- Posterior.rung), and the
+    hint never changes the accepted jitter (minimal-rung search is
+    hint-independent, ops/linalg._jitchol_loop)."""
+    from gaussian_process_optimization_tpu.models.bo_models import GPModel
+    from gaussian_process_optimization_tpu.models.gp import GPRegression
+    from gaussian_process_optimization_tpu.utils.pytree import replace as _rep
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (24, 2))
+    Y = np.sin(X[:, :1])
+    m = GPModel(exact_feval=True, optimize_restarts=1, max_iters=3)
+    m.updateModel(X, Y)
+    # the hint tracks the posterior's accepted rung after every refit
+    assert float(np.asarray(m.model.jitter_hint)) == float(np.asarray(m.posterior.rung))
+    m.updateModel(X, Y + 0.01)
+    assert float(np.asarray(m.model.jitter_hint)) == float(np.asarray(m.posterior.rung))
+
+    # rung > 0 case: scale-mismatched model (variance 1e8 vs noise 1e-8) forces
+    # a real ladder rung even in f64; a hinted factorization must accept the
+    # SAME jitter/rung as the fresh ladder
+    base = rng.uniform(0, 1, (8, 2))
+    Xd = np.vstack([base, base, base])  # duplicates -> rank-deficient K
+    Yd = np.vstack([np.sin(base[:, :1])] * 3)
+    big = kern.RBF.create(2, variance=1e8)
+    gp_fresh = GPRegression.create(Xd, Yd, kernel=big, noise_var=0.0)
+    post_fresh = gp_fresh.inference()
+    assert int(np.asarray(post_fresh.rung)) > 0
+    gp_hint = _rep(gp_fresh, jitter_hint=jnp.asarray(5.0, jnp.float32))
+    post_hint = gp_hint.inference()
+    assert int(np.asarray(post_hint.rung)) == int(np.asarray(post_fresh.rung))
+    assert float(np.asarray(post_hint.jitter)) == float(np.asarray(post_fresh.jitter))
+    np.testing.assert_allclose(np.asarray(post_hint.lml), np.asarray(post_fresh.lml))
