@@ -57,12 +57,12 @@ def main():
         fitter = fit_mod.Fitter(model, num_restarts=RESTARTS, maxiter=STEPS,
                                 fix=fix)
         fitted, res = fitter(model, jax.random.PRNGKey(0))  # compile
-        float(fitted.kern.variance)
+        float(jax.tree_util.tree_leaves(fitted.kern)[0].ravel()[0])
         times = []
         for i in range(2):
             t0 = time.perf_counter()
             fitted, res = fitter(model, jax.random.PRNGKey(1 + i))
-            float(fitted.kern.variance)
+            float(jax.tree_util.tree_leaves(fitted.kern)[0].ravel()[0])
             times.append(time.perf_counter() - t0)
         # jitter rung accepted at the FITTED params (proxy for in-fit ladder)
         @jax.jit

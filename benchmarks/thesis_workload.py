@@ -333,9 +333,9 @@ def report(raw):
         "## Batch-loop final simple regret",
         "",
         f"- CPU f64: median {np.median(cpu_b):.4f}, IQR [{lo_c:.4f}, {hi_c:.4f}] — "
-        f"seeds: {[round(v, 4) for v in sorted(cpu_b)]}",
+        f"seeds: {[round(float(v), 4) for v in sorted(cpu_b)]}",
         f"- TPU f32: median {np.median(tpu_b):.4f}, IQR [{lo_t:.4f}, {hi_t:.4f}] — "
-        f"seeds: {[round(v, 4) for v in sorted(tpu_b)]}",
+        f"seeds: {[round(float(v), 4) for v in sorted(tpu_b)]}",
         f"- IQRs overlap: **{overlap}**",
     ]
     if f32_b is not None:
@@ -344,7 +344,7 @@ def report(raw):
             f"- CPU f32 control (same pipeline, host CPU at f32 — isolates "
             f"precision from hardware): median {np.median(f32_b):.4f}, "
             f"IQR [{lo_f:.4f}, {hi_f:.4f}] — "
-            f"seeds: {[round(v, 4) for v in sorted(f32_b)]}",
+            f"seeds: {[round(float(v), 4) for v in sorted(f32_b)]}",
         ]
     lines += [
         "",
@@ -370,9 +370,9 @@ def report(raw):
             "LatinMixed 10 + 8 iters x batch 5)",
             "",
             f"- CPU f64: median {np.median(eq_c):.4f}, IQR [{lo_c2:.4f}, "
-            f"{hi_c2:.4f}] — seeds: {[round(v, 4) for v in sorted(eq_c)]}",
+            f"{hi_c2:.4f}] — seeds: {[round(float(v), 4) for v in sorted(eq_c)]}",
             f"- TPU f32: median {np.median(eq_t):.4f}, IQR [{lo_t2:.4f}, "
-            f"{hi_t2:.4f}] — seeds: {[round(v, 4) for v in sorted(eq_t)]}",
+            f"{hi_t2:.4f}] — seeds: {[round(float(v), 4) for v in sorted(eq_t)]}",
             f"- seed variance on CPU (discriminativeness): "
             f"{np.var(eq_c):.6f} (non-zero required)",
             f"- IQRs overlap: **{ov2}**",
