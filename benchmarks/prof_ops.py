@@ -80,7 +80,7 @@ def main():
     slope(chol_xla, jnp.float32(0.0), operands=(Ky,),
           label="cholesky XLA batched (B=5,N=4096)")
 
-    for nb in (256, 512):
+    for nb in (128, 192, 256, 384, 512):
         def chol_blk(i, c, Ky, nb=nb):
             return jnp.sum(linalg.blocked_cholesky(Ky + c * 1e-12, nb=nb)) * 1e-20 + c
         slope(chol_blk, jnp.float32(0.0), operands=(Ky,),
@@ -100,15 +100,19 @@ def main():
 
     # 2b) backward-pass constituents (tri_inv_lower + tri_tdot dominate the
     # _exact_core pullback)
-    def tri_inv(i, c, L):
-        return jnp.sum(linalg.tri_inv_lower(L + c * 1e-12)) * 1e-20 + c
-    slope(tri_inv, jnp.float32(0.0), operands=(L,), label="tri_inv_lower (D&C)")
+    for blk in (128, 256, 512):
+        def tri_inv(i, c, L, blk=blk):
+            return jnp.sum(linalg.tri_inv_lower(L + c * 1e-12, block=blk)) * 1e-20 + c
+        slope(tri_inv, jnp.float32(0.0), operands=(L,),
+              label=f"tri_inv_lower (D&C) block={blk}")
 
     Li0 = linalg.tri_inv_lower(L)
 
-    def tri_td(i, c, Li0):
-        return jnp.sum(linalg.tri_tdot(Li0 + c * 1e-12)) * 1e-20 + c
-    slope(tri_td, jnp.float32(0.0), operands=(Li0,), label="tri_tdot (lauum-blocked)")
+    for nb in (256, 512, 1024):
+        def tri_td(i, c, Li0, nb=nb):
+            return jnp.sum(linalg.tri_tdot(Li0 + c * 1e-12, nb=nb)) * 1e-20 + c
+        slope(tri_td, jnp.float32(0.0), operands=(Li0,),
+              label=f"tri_tdot (lauum-blocked) nb={nb}")
 
     # 3) LML value and value+grad (the line-search trial and accept costs)
     Xh, Yh = rng.uniform(-2, 2, (N, D)), rng.standard_normal((N, 1))
