@@ -143,8 +143,11 @@ def _jitchol_loop(A, maxtries, k_start=None):
     if k_start is None:
         h = jnp.zeros(batch, jnp.int32)
     else:
-        h = jnp.clip(jnp.floor(jnp.asarray(k_start)).astype(jnp.int32),
-                     0, maxtries)
+        # nan_to_num: a NaN/inf hint (e.g. from a diverged upstream state)
+        # must degrade to the fresh ladder, not poison the int cast
+        h = jnp.clip(
+            jnp.floor(jnp.nan_to_num(jnp.asarray(k_start))).astype(jnp.int32),
+            0, maxtries)
         h = jnp.broadcast_to(h, batch)
     L0, j0, ok0 = _attempt(h)
     # search interval [lo, hi] for the minimal successful rung; invariant: when
