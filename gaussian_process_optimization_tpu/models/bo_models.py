@@ -167,7 +167,12 @@ class GPModel(BOModel):
         # jitchol ladder warm start (see GPRegression.jitter_hint): refreshed
         # from Posterior.rung after every refit. Materialized here (not None)
         # so the Fitter's pytree structure is stable from the first fit on.
-        self.model = replace(self.model, jitter_hint=jnp.zeros((), jnp.float32))
+        # jitter_greedy: fit line-search trials accept the first rung that
+        # factors, walking up from the hint (1 batched Cholesky steady state);
+        # the once-per-refit posterior below re-verifies minimality and
+        # re-anchors the hint, so a stale-high rung descends at the next refit.
+        self.model = replace(self.model, jitter_hint=jnp.zeros((), jnp.float32),
+                             jitter_greedy=True)
 
     def _fitter_for(self, bucket):
         if bucket not in self._fitters:
@@ -215,8 +220,11 @@ class GPModel(BOModel):
         # precompute L^-1: the posterior feeds the acquisition sweep + vmapped
         # multistart, where matmul-path prediction avoids latency-bound
         # triangular solves on TPU (Posterior.Li); jitted — the eager chain
-        # was ~10 tunnel dispatches per refit
-        self.posterior = _inference_device(self.model)
+        # was ~10 tunnel dispatches per refit. The posterior factors with the
+        # VERIFIED minimal-rung ladder (jitter_greedy=False) — it is the
+        # once-per-refit anchor that lets a stale-high greedy rung descend.
+        self.posterior = _inference_device(
+            replace(self.model, jitter_greedy=False))
         # feed the accepted jitter rung back as the NEXT refit's ladder warm
         # start (stays a device scalar — no host sync). The fitted params'
         # conditioning is the best predictor of the next iteration's: the

@@ -30,7 +30,7 @@ from ..kernels.base import Kernel
 from ..kernels.stationary import RBF
 from ..ops import linalg
 from ..utils.normalizer import Standardize
-from ..utils.pytree import pytree_dataclass, replace
+from ..utils.pytree import pytree_dataclass, replace, static_field
 from .mean_functions import Mapping
 
 import math
@@ -41,15 +41,18 @@ import math
 LOG_2_PI = math.log(2.0 * math.pi)
 
 
-def _exact_core_impl(Ky, Yc, k_hint):
+def _exact_core_impl(Ky, Yc, k_hint, greedy=False):
     """Shared primal for _exact_core and its VJP fwd: returns (outputs, residuals)
     so the two traces cannot drift numerically."""
     from ..ops import linalg as _linalg
 
     # k_hint: first jitter rung to probe (min-rung binary search — the result
     # is hint-independent; the BO wrappers carry the previous refit's rung so
-    # ill-conditioned fits pay ~2 factorizations per trial instead of rung+1)
-    L, jitter, ok, rung = _linalg.jitchol_full(Ky, k_start=k_hint)
+    # ill-conditioned fits pay ~2 factorizations per trial instead of rung+1).
+    # greedy: accept the first success walking up from the hint (ONE batched
+    # factorization steady state — fit line-search trials only; see
+    # GPRegression.jitter_greedy)
+    L, jitter, ok, rung = _linalg.jitchol_full(Ky, k_start=k_hint, greedy=greedy)
     # blocked 1-rhs forward substitution: XLA's full-size triangular solve is
     # latency-bound at this shape (~9-10 ms of the 21.6 ms LML value pass at
     # N=4096 B=5) and this is the line-search hot path
@@ -60,8 +63,11 @@ def _exact_core_impl(Ky, Yc, k_hint):
     return (logdet, quad, L, alpha, jitter, ok, rung), (L, t, k_hint)
 
 
-@jax.custom_vjp
-def _exact_core(Ky, Yc, k_hint):
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _exact_core(Ky, Yc, k_hint, greedy=False):
     """(logdet, quad, L, alpha, jitter, ok) for the exact-GP LML with the CLOSED-FORM
     pullback: d(logdet)/dKy = Ky^-1, d(quad)/dKy = -alpha alpha^T, d(quad)/dYc =
     2 alpha — exactly GPy's dL_dK = 0.5(alpha alpha^T - Wi)
@@ -76,14 +82,14 @@ def _exact_core(Ky, Yc, k_hint):
     lazily (XLA dead-code-eliminates its second solve whenever the caller only
     consumes the LML, i.e. every fit/line-search step) and the backward pass
     rebuilds it as the matmul Li^T t from the Li it must form anyway."""
-    return _exact_core_impl(Ky, Yc, k_hint)[0]
+    return _exact_core_impl(Ky, Yc, k_hint, greedy)[0]
 
 
-def _exact_core_fwd(Ky, Yc, k_hint):
-    return _exact_core_impl(Ky, Yc, k_hint)
+def _exact_core_fwd(Ky, Yc, k_hint, greedy=False):
+    return _exact_core_impl(Ky, Yc, k_hint, greedy)
 
 
-def _exact_core_bwd(res, cts):
+def _exact_core_bwd(greedy, res, cts):
     from ..ops import linalg as _linalg
 
     L, t, k_hint = res
@@ -196,6 +202,14 @@ class GPRegression:
     # instead of re-climbing the ladder from 0 (the minimal-rung RESULT is
     # hint-independent; see ops/linalg._jitchol_loop)
     jitter_hint: jnp.ndarray = None
+    # jitchol policy for THIS model's inference: False (default) = verified
+    # minimal-rung search (GPy-parity jitter regardless of the hint); True =
+    # accept the first success walking up from jitter_hint (1 batched
+    # factorization steady state — the BO wrappers enable it for fit
+    # line-search trials and re-verify minimality at the once-per-refit
+    # posterior factorization, which re-anchors the hint; see
+    # ops/linalg._jitchol_loop and bo_models.updateModel)
+    jitter_greedy: bool = static_field(default=False)
 
     # ------------------------------------------------------------------ factory
     @classmethod
@@ -282,6 +296,8 @@ class GPRegression:
         )
         if self.jitter_hint is not None:  # carry the ladder warm start
             new = replace(new, jitter_hint=self.jitter_hint)
+        if self.jitter_greedy:  # carry the ladder policy with the hint
+            new = replace(new, jitter_greedy=True)
         return new
 
     # ------------------------------------------------------------------ internals
@@ -355,7 +371,8 @@ class GPRegression:
         hint = self.jitter_hint
         if hint is None:
             hint = jnp.zeros((), jnp.float32)
-        logdet, quad, L, alpha, jitter, ok, rung = _exact_core(Ky, Yc, hint)
+        logdet, quad, L, alpha, jitter, ok, rung = _exact_core(
+            Ky, Yc, hint, bool(self.jitter_greedy))
         p = Yc.shape[1]
         n_real = self.num_data
         lml = 0.5 * (-n_real * p * LOG_2_PI - p * logdet - quad)

@@ -98,7 +98,7 @@ def tri_tdot(Li: jnp.ndarray, nb: int = 512, precision=None) -> jnp.ndarray:
     return W
 
 
-def _jitchol_loop(A, maxtries, k_start=None):
+def _jitchol_loop(A, maxtries, k_start=None, greedy=False):
     """Minimal-rung jitter-ladder Cholesky via bidirectional BINARY search.
 
     GPy's ladder (util/linalg.py:56-74) walks rungs 0, 1, 2, ... sequentially
@@ -117,6 +117,19 @@ def _jitchol_loop(A, maxtries, k_start=None):
     of the hint; a good hint just reaches it in ~2 attempts. k_start == 0
     (the default) keeps the well-conditioned fast path at exactly one
     factorization with zero jitter, as before.
+
+    `greedy=True` drops the downward minimality verification: each lane walks
+    the sequential GPy ladder UP from `k_start` and accepts the FIRST success —
+    exactly GPy's semantics started at the hint instead of 0 (identical result
+    when k_start == 0). Steady state with a sufficient hint is ONE batched
+    factorization per call, vs 2-4 for the verified search when per-lane
+    minimal rungs straddle the hint (each extra while iteration is a full
+    batched Cholesky — ~12 ms at B=5 N=4096, ~60 ms/step of a Gower
+    exact_feval fit; benchmarks/prof_gower_fit.py). The accepted rung may
+    exceed the true minimum when the hint overshoots, so greedy is reserved
+    for FIT line-search trials where the hint comes from the same model one
+    refit earlier; posterior factorizations re-verify minimality and re-anchor
+    the hint (models/bo_models.py updateModel).
 
     Batch-aware: each lane carries its own search interval (a failing lane
     escalates without touching already-factored lanes). Returns
@@ -150,6 +163,32 @@ def _jitchol_loop(A, maxtries, k_start=None):
             0, maxtries)
         h = jnp.broadcast_to(h, batch)
     L0, j0, ok0 = _attempt(h)
+
+    if greedy:
+        # sequential GPy ladder from the hint: first success per lane is final
+        def g_cond(state):
+            return jnp.any(~state[-1])
+
+        def g_body(state):
+            k, L_b, j_b, ok_b, done = state
+            k = jnp.where(done, k, k + 1)
+            L, jitter, ok = _attempt(k)
+            take = ~done  # searching lanes record this attempt (success, or
+            # the climb's latest failure — all-fail lanes report the last
+            # rung tried, like the verified walk)
+            keep = ~take[..., None, None] if batch else ~take
+            L_b = jnp.where(keep, L_b, L)
+            j_b = jnp.where(take, jitter, j_b)
+            ok_b = ok_b | (take & ok)
+            done = done | (take & ok) | (k >= maxtries)
+            return (k, L_b, j_b, ok_b, done)
+
+        done0 = ok0 | (h >= maxtries)
+        k, L, jitter, ok, _ = lax.while_loop(
+            g_cond, g_body, (h, L0, j0, ok0, done0))
+        rung = jnp.where(ok, k, maxtries + 1)
+        return L, jitter, ok, rung
+
     # search interval [lo, hi] for the minimal successful rung; invariant: when
     # a success has been stored (ok flag), the stored factor is the one at `hi`
     lo = jnp.where(ok0, jnp.zeros_like(h), h + 1)
@@ -202,17 +241,17 @@ from functools import partial as _partial
 import jax as _jax
 
 
-@_partial(_jax.custom_vjp, nondiff_argnums=(2,))
-def _jitchol_core(A, k_start, maxtries):
-    return _jitchol_loop(A, maxtries, k_start)
+@_partial(_jax.custom_vjp, nondiff_argnums=(2, 3))
+def _jitchol_core(A, k_start, maxtries, greedy):
+    return _jitchol_loop(A, maxtries, k_start, greedy)
 
 
-def _jitchol_fwd(A, k_start, maxtries):
-    out = _jitchol_loop(A, maxtries, k_start)
+def _jitchol_fwd(A, k_start, maxtries, greedy):
+    out = _jitchol_loop(A, maxtries, k_start, greedy)
     return out, (out[0], k_start)
 
 
-def _jitchol_bwd(maxtries, res, cts):
+def _jitchol_bwd(maxtries, greedy, res, cts):
     """Cholesky pullback: A_bar = 0.5 (S + S^T), S = L^-T Phi(L^T L_bar) L^-1.
 
     This is the TPU-native `backprop_gradient` (reference choleskies_cython.pyx:48):
@@ -235,21 +274,24 @@ _jitchol_core.defvjp(_jitchol_fwd, _jitchol_bwd)
 
 # Module-level jit so eager callers hit the compile cache (a bare lax.while_loop with
 # fresh closures re-traces on every eager call). Inlined when called under an outer jit.
-_jitchol_jit = _jax.jit(_jitchol_core, static_argnums=(2,))
+_jitchol_jit = _jax.jit(_jitchol_core, static_argnums=(2, 3))
 
 
-def jitchol_full(A: jnp.ndarray, maxtries: int | None = None, k_start=None):
+def jitchol_full(A: jnp.ndarray, maxtries: int | None = None, k_start=None,
+                 greedy: bool = False):
     """`jitchol` that also returns the accepted ladder RUNG (int, batch shape):
     ``(L, jitter, ok, rung)``. `k_start` is the first rung probed (see
     `_jitchol_loop`) — the minimal-rung result is hint-independent; a good hint
     (e.g. the previous refit's rung, GPRegression.jitter_hint) just reaches it
-    in ~2 factorizations."""
+    in ~2 factorizations. `greedy=True` accepts the first success walking UP
+    from the hint (no downward verification — see `_jitchol_loop`)."""
     if maxtries is None:
         maxtries = config.jitchol_maxtries
     if k_start is None:
         k_start = jnp.zeros((), jnp.float32)
     return _jitchol_jit(jnp.asarray(A),
-                        jnp.asarray(k_start, dtype=jnp.float32), int(maxtries))
+                        jnp.asarray(k_start, dtype=jnp.float32), int(maxtries),
+                        bool(greedy))
 
 
 def jitchol(A: jnp.ndarray, maxtries: int | None = None):
