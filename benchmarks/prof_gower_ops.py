@@ -47,23 +47,27 @@ def main():
                               gpy_compat=True)
     mat = kern.Matern52.create(D, ARD=True)
 
-    def slope(make_body, label, trips=(4, 12)):
+    def slope(make_body, label, trips=(4, 12), operands=()):
+        """`operands`: big arrays the body reads — threaded as jit ARGUMENTS
+        like prof_ops.py's slope (closed-over device arrays are baked into the
+        HLO as literal constants, which blows the remote-compile service's
+        request-size limit once N or B grows). make_body(i, c, *operands)."""
         def prog(n_trips):
             @jax.jit
-            def run(c0):
+            def run(c0, *ops):
                 return lax.fori_loop(0, n_trips,
-                                     lambda i, c: make_body(i, c), c0)
+                                     lambda i, c: make_body(i, c, *ops), c0)
             return run
 
         ts = {}
         for nt in trips:
             run = prog(nt)
-            c = run(jnp.float32(0.0))
+            c = run(jnp.float32(0.0), *operands)
             float(jnp.sum(c))
             reps = []
             for r in range(3):
                 t0 = time.perf_counter()
-                c = run(jnp.float32(1e-6 * (r + 1)))
+                c = run(jnp.float32(1e-6 * (r + 1)), *operands)
                 float(jnp.sum(c))
                 reps.append(time.perf_counter() - t0)
             ts[nt] = float(np.median(reps))
@@ -83,26 +87,29 @@ def main():
             rng.standard_normal((B, u0.shape[0])).astype(np.float32))
         Xj = jnp.asarray(Xh, dtype=jnp.float32)
 
-        def kbuild(i, c, packer=packer, model=model, us=us, Xj=Xj):
+        def kbuild(i, c, model, us, Xj, packer=packer):
             def one(u):
                 m = packer.unpack(u + c * 1e-12, model)
                 return jnp.sum(m.kern.K(Xj))
             return jnp.sum(jax.vmap(one)(us)) * 1e-20 + c
 
-        slope(kbuild, f"{label} K build (B=5 vmapped)")
+        slope(kbuild, f"{label} K build (B=5 vmapped)",
+              operands=(model, us, Xj))
 
-        def lml_val(i, c, obj=obj, model=model, us=us):
+        def lml_val(i, c, model, us, Xj, obj=obj):
             v = jax.vmap(lambda u: obj(u + c * 1e-12, model))(us)
             return jnp.sum(v) * 1e-20 + c
 
-        slope(lml_val, f"{label} LML value (B=5 vmapped)")
+        slope(lml_val, f"{label} LML value (B=5 vmapped)",
+              operands=(model, us, Xj))
 
-        def lml_vg(i, c, obj=obj, model=model, us=us):
+        def lml_vg(i, c, model, us, Xj, obj=obj):
             v, g = jax.vmap(
                 lambda u: jax.value_and_grad(obj)(u + c * 1e-12, model))(us)
             return (jnp.sum(v) + jnp.sum(g)) * 1e-20 + c
 
-        slope(lml_vg, f"{label} LML value+grad (B=5 vmapped)")
+        slope(lml_vg, f"{label} LML value+grad (B=5 vmapped)",
+              operands=(model, us, Xj))
 
 
 if __name__ == "__main__":

@@ -219,7 +219,12 @@ def _grad_norm_refine(gp, post, x0, lo, hi):
 
 @jax.jit
 def _point_inference(gp):
-    return gp.inference(precompute_inverse=False)
+    # Non-fit factorization: always use the VERIFIED minimal-rung ladder, even
+    # if the model carries jitter_greedy=True from its fitter (greedy is a fit
+    # line-search policy only — mirrors bo_models.updateModel's posterior).
+    from dataclasses import replace
+
+    return replace(gp, jitter_greedy=False).inference(precompute_inverse=False)
 
 
 def estimate_L(model, bounds, seed=0):

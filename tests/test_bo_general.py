@@ -123,3 +123,37 @@ def test_objective_tail_values():
     np.testing.assert_allclose(
         float(obj.dropwave(obj.dropwave.xmin)[0, 0]), obj.dropwave.fmin,
         atol=1e-9)
+
+
+def test_updatemodel_posterior_rung_verified_minimal(rng):
+    """While GPModel fits with jitter_greedy=True (line-search trials accept
+    the first rung that factors from the hint), the once-per-refit POSTERIOR
+    must factor with the verified minimal-rung ladder and re-anchor the hint
+    (ADVICE r4). Duplicated rows + exact_feval(1e-6) force a nonzero rung."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    X = rng.uniform(-2, 2, (12, 1))
+    X = np.vstack([X, X[:6] + 1e-9])  # near-duplicate rows: ill-conditioned K
+    Y = np.sin(X)
+    wrapper = GPModel(kernel=kern.RBF.create(1), exact_feval=True,
+                      optimize_restarts=1, max_iters=20)
+    # stale-HIGH hint: greedy fit trials would accept this overshoot as-is
+    wrapper.updateModel(X, Y, None, None)
+    assert wrapper.model.jitter_greedy is True
+    # posterior rung == the verified minimal rung for the fitted params
+    verified = replace(wrapper.model, jitter_greedy=False,
+                       jitter_hint=jnp.zeros((), jnp.float32)).inference()
+    assert int(wrapper.posterior.rung) == int(verified.rung)
+    # and the hint was re-anchored to that verified rung
+    np.testing.assert_allclose(float(wrapper.model.jitter_hint),
+                               float(verified.rung))
+    # even seeding a deliberately-overshooting hint, the next refit's
+    # posterior descends back to minimal
+    wrapper.model = replace(wrapper.model,
+                            jitter_hint=jnp.asarray(5.0, jnp.float32))
+    wrapper.updateModel(X, Y, None, None)
+    verified = replace(wrapper.model, jitter_greedy=False,
+                       jitter_hint=jnp.zeros((), jnp.float32)).inference()
+    assert int(wrapper.posterior.rung) == int(verified.rung)

@@ -302,3 +302,76 @@ def test_jitchol_hint_under_vmap(rng):
     assert int(rung[0]) == 0 and float(j[0]) == 0.0
     ref = linalg.jitchol_full(As[1])
     assert int(rung[1]) == int(ref[3]) and float(j[1]) == float(ref[1])
+
+
+def test_jitchol_greedy_from_zero_matches_verified(rng):
+    """greedy=True with k_start=0 is exactly GPy's sequential ladder — same
+    rung, jitter, and factor as the verified minimal-rung search (ADVICE r4)."""
+    for rank, n in ((10, 40), (5, 40), (39, 40)):
+        U = rng.standard_normal((n, rank))
+        A = jnp.asarray(U @ U.T)
+        ref_L, ref_j, ref_ok, ref_rung = linalg.jitchol_full(A)
+        L, j, ok, rung = linalg.jitchol_full(A, k_start=0.0, greedy=True)
+        assert bool(ok) == bool(ref_ok)
+        assert int(rung) == int(ref_rung)
+        assert float(j) == float(ref_j)
+        np.testing.assert_allclose(np.asarray(L), np.asarray(ref_L), rtol=1e-12)
+    # PD matrix: greedy from zero is one factorization at rung 0
+    P = jnp.asarray(_random_pd(rng, 24))
+    L, j, ok, rung = linalg.jitchol_full(P, k_start=0.0, greedy=True)
+    assert bool(ok) and int(rung) == 0 and float(j) == 0.0
+
+
+def test_jitchol_greedy_overshoot_accepts_hint_rung(rng):
+    """greedy accepts the FIRST success walking UP from the hint — an
+    overshooting hint is accepted as-is (no downward minimality check), and
+    the factor still reconstructs A + jitter*I exactly."""
+    U = rng.standard_normal((40, 10))
+    A = jnp.asarray(U @ U.T)
+    _, _, _, ref_rung = linalg.jitchol_full(A)  # true minimal rung
+    h = float(int(ref_rung) + 2)  # overshoot by 2 rungs
+    L, j, ok, rung = linalg.jitchol_full(A, k_start=h, greedy=True)
+    assert bool(ok)
+    assert int(rung) == int(h)  # hint rung accepted, NOT descended
+    base = float(jnp.mean(jnp.diagonal(A))) * 1e-6
+    np.testing.assert_allclose(float(j), base * 10.0 ** (h - 1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(L @ L.T), np.asarray(A) + float(j) * np.eye(40),
+        rtol=1e-6, atol=1e-8)
+    # PD matrix with an overshooting hint: the hint rung (nonzero jitter)
+    # factors immediately and is accepted
+    P = jnp.asarray(_random_pd(rng, 24))
+    L, j, ok, rung = linalg.jitchol_full(P, k_start=3.0, greedy=True)
+    assert bool(ok) and int(rung) == 3 and float(j) > 0.0
+    np.testing.assert_allclose(
+        np.asarray(L @ L.T), np.asarray(P) + float(j) * np.eye(24),
+        rtol=1e-6, atol=1e-8)
+
+
+def test_jitchol_greedy_batched_lanes_straddle_hint(rng):
+    """Batched greedy with lanes whose acceptance rungs straddle the hint:
+    the below-hint lane accepts the hint rung, the above-hint lane climbs,
+    and every lane's factor reconstructs A + jitter*I."""
+    good = _random_pd(rng, 16)                      # rung 0 — below any hint
+    U = rng.standard_normal((16, 2))
+    hard = U @ U.T                                   # needs a deep rung
+    As = jnp.asarray(np.stack([good, hard]))
+    ref_rung_hard = int(linalg.jitchol_full(As[1])[3])
+    h = max(1, ref_rung_hard - 1)                    # straddles: 0 < h < hard
+    L, j, ok, rung = linalg.jitchol_full(As, k_start=float(h), greedy=True)
+    assert bool(ok[0]) and bool(ok[1])
+    assert int(rung[0]) == h                         # good lane: hint accepted
+    assert int(rung[1]) >= ref_rung_hard             # hard lane: climbed
+    for b in range(2):
+        np.testing.assert_allclose(
+            np.asarray(L[b] @ L[b].T),
+            np.asarray(As[b]) + float(j[b]) * np.eye(16),
+            rtol=1e-6, atol=1e-8)
+
+
+def test_jitchol_greedy_all_fail():
+    """greedy ladder on an unfactorable matrix reports ok=False like the
+    verified walk."""
+    _, _, ok, rung = linalg.jitchol_full(-jnp.eye(8), k_start=2.0, greedy=True)
+    assert not bool(ok)
+    assert int(rung) == 6
