@@ -41,8 +41,12 @@ def make_gplvm(Y, input_dim, kernel=None, init="pca", seed=0):
     return GPRegression.create(X0, Y, kernel=kernel, noise_var=0.1)
 
 
-def fit_gplvm(model, maxiter=500, key=None):
-    """Optimize hyperparameters AND the latent X (packer with X unfrozen)."""
+def fit_gplvm(model, maxiter=500, key=None, priors=None):
+    """Optimize hyperparameters AND the latent X (packer with X unfrozen).
+
+    ``priors``: field-name -> Prior dict (models/fit.py make_objective). Pass
+    ``{"X": DGPLVMPrior(lbl=...)}`` for the discriminative GPLVM of
+    GPy priors.py:535 (the prior's lnpdf sees the (N, Q) latent leaf)."""
     from ..ops import lbfgs
     from .fit import make_objective
     from .parameters import DATA_NAMES, make_packer
@@ -56,7 +60,7 @@ def fit_gplvm(model, maxiter=500, key=None):
         transforms.append(POSITIVE if nm in POSITIVE_NAMES else IDENTITY)
         fixed.append(nm in (DATA_NAMES - {"X"}))  # X trainable; Y etc. fixed
     packer = Packer(model, transforms=transforms, fixed=fixed)
-    obj = make_objective(packer)
+    obj = make_objective(packer, priors=priors)
     u0 = packer.pack(model)
     res = lbfgs.minimize(lambda u: obj(u, model), u0, maxiter=maxiter)
     return packer.unpack(res.x, reference=model), res
