@@ -167,3 +167,47 @@ def test_bo_loop_on_mesh(mesh):
     bo.run_optimization(max_iter=6, eps=-1)
     assert bo.Y.shape[0] == 10  # all iterations ran (no fit failures)
     assert float(bo.fx_opt) < -5.5  # forrester fmin = -6.02
+
+
+def test_distributed_cholesky_matches_lapack(mesh, rng):
+    """The row-sharded blocked factorization (factor never replicated) must
+    reproduce LAPACK's Cholesky exactly up to f64 round-off — the distributed
+    analog of GPy util/linalg.py:56 potrf, strictly beyond the reference's
+    only distributed inference (sparse reduceArrays)."""
+    n, nb = 256, 16  # 8 devices x 2 blocks/device
+    Xr = rng.standard_normal((n, n))
+    A = Xr @ Xr.T + n * np.eye(n)
+    chol_fn = sharded.make_distributed_cholesky(mesh, nb=nb)
+    L = np.asarray(jax.jit(chol_fn)(jnp.asarray(A)))
+    np.testing.assert_allclose(L, np.linalg.cholesky(A), rtol=1e-9, atol=1e-9)
+    assert np.all(np.triu(L, 1) == 0.0)
+
+
+def test_distributed_exact_lml_value_and_grad(data, mesh):
+    """Distributed exact-GP LML (sharded Gram + sharded Cholesky + sharded
+    logdet) matches the gather-then-factor sharded LML and its kernel-parameter
+    gradients on the same data."""
+    X, Y = data
+    k = kern.Matern52.create(2, variance=1.3, lengthscale=0.9)
+    m = GPRegression.create(X, Y, kernel=k, noise_var=0.05, max_points=64)
+    ref_fn = sharded.make_sharded_exact_lml(mesh)
+    lml_ref, _ = ref_fn(k, m.X, m.Y, m.likelihood_variance, m.mask)
+    dist_fn = sharded.make_distributed_exact_lml(mesh, nb=8)  # 64 = 8 dev x 8
+
+    def val(kp, noise):
+        return dist_fn(kp, m.X, m.Y, noise)
+
+    lml = jax.jit(val)(k, m.likelihood_variance)
+    np.testing.assert_allclose(float(lml), float(lml_ref), rtol=1e-9)
+
+    g_dist = jax.jit(jax.grad(val, argnums=(0, 1)))(k, m.likelihood_variance)
+
+    def val_ref(kp, noise):
+        v, _ = ref_fn(kp, m.X, m.Y, noise, m.mask)
+        return v
+
+    g_ref = jax.jit(jax.grad(val_ref, argnums=(0, 1)))(k, m.likelihood_variance)
+    for a, b in zip(jax.tree_util.tree_leaves(g_dist),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-10)
