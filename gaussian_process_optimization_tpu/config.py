@@ -44,6 +44,30 @@ class Config:
     # GPO_GRAD_MATMUL_PRECISION=highest.
     grad_matmul_precision: str = os.environ.get(
         "GPO_GRAD_MATMUL_PRECISION", "high")
+    # Line-search warm-start growth after a BACKTRACKED accept (ops/lbfgs.py
+    # `grow_backtracked`; Fitter reads this as its default). 1.0 = HOLD
+    # (re-probe the accepted step) kills the grow->fail->re-backtrack
+    # oscillation on structured LML surfaces (~6% fewer trials, max-over-lanes
+    # 48->43 at N=1024 f32) — but the regret gate FAILED: hartmann6 median
+    # +9%, alpine1 upper quartile 4x (benchmarks/ls_policy_ab.json, 10 seeds
+    # x 3 functions CPU f64). Same verdict as nonmonotone_eta and the global
+    # bf16x3 knob: speed knobs that move regret stay OPT-IN; default 2.0.
+    ls_grow_backtracked: float = float(os.environ.get(
+        "GPO_LS_GROW_BACKTRACKED", "2.0"))
+    # Pallas all-lanes diag-block routing inside the blocked linalg stack
+    # (ops/pallas_linalg.py), gated PER CALL SITE by measured integrated wins
+    # (benchmarks/prof_pallas_linalg2.py, v5e f32, N=4096 B=5):
+    # - tri_inv_lower diag-block inverses: 10.07 ms vs ~11.9 XLA -> default ON.
+    # - blocked_cholesky diag-block factorizations: 13.10 ms vs 11.87 XLA
+    #   integrated (despite the standalone kernel winning 0.04 vs 0.34 ms)
+    #   -> default OFF until an integrated win is measured; opt in via
+    #   GPO_PALLAS_CHOL=1.
+    # Small-matrix full factorizations (n below the blocking threshold) always
+    # use XLA: per-shape Mosaic remote compiles cost ~5-15 min EACH, and the
+    # BO loop's padded buckets would each pay one for sub-millisecond ops.
+    pallas_chol_blocks: bool = bool(os.environ.get("GPO_PALLAS_CHOL", ""))
+    pallas_tri_inv: bool = os.environ.get("GPO_PALLAS_TRIINV", "1") not in (
+        "", "0")
 
 
 config = Config()

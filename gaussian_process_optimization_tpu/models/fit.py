@@ -78,7 +78,12 @@ class Fitter:
         jit: bool = True,
         max_ls: int = 8,
         nonmonotone_eta: float = 0.0,
+        grow_backtracked: float | None = None,
     ):
+        if grow_backtracked is None:
+            from ..config import config as _config
+
+            grow_backtracked = _config.ls_grow_backtracked
         self.packer = make_packer(
             template_model, fix=fix, transform_overrides=transform_overrides
         )
@@ -117,6 +122,7 @@ class Fitter:
                     lambda uu: obj(uu, model), u, maxiter=maxiter, tol=tol,
                     history=history, max_ls=max_ls,
                     nonmonotone_eta=nonmonotone_eta,
+                    grow_backtracked=grow_backtracked,
                 )
 
             res = jax.vmap(solve)(starts)

@@ -52,7 +52,7 @@ def _project(x, lower, upper):
 
 def _minimize(fun, x0, lower, upper, maxiter, history, tol,
               max_ls=25, has_bounds=False, carry_vjp=True, trace=False,
-              nonmonotone_eta=0.0):
+              nonmonotone_eta=0.0, grow_backtracked=2.0):
     n = x0.shape[0]
     m = history
     dtype = x0.dtype
@@ -259,12 +259,17 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         n_ls = n_ls + n_trials
         # next first-trial step: grow the accepted step, capped at 1; after a
         # failed search reset to 1 (the lane freezes anyway). Growth is 4x after
-        # a clean first-trial accept and 2x after a backtracked accept, so a
-        # lane that once took a tiny step recovers the unit step in
-        # ~log4(1/t) iterations instead of log2 (a whole-search backtrack can
-        # shrink t by 10x per round but growth only happens once per outer
-        # iteration — asymmetric recovery was a measurable convergence drag)
-        grow = jnp.where(n_trials == 1, 4.0, 2.0)
+        # a clean first-trial accept and `grow_backtracked` (default 2x) after a
+        # backtracked accept, so a lane that once took a tiny step recovers the
+        # unit step in ~log4(1/t) iterations instead of log2 (a whole-search
+        # backtrack can shrink t by 10x per round but growth only happens once
+        # per outer iteration — asymmetric recovery was a measurable
+        # convergence drag). grow_backtracked=1.0 is the HOLD policy: after a
+        # backtracked accept, re-probe at the accepted step instead of growing
+        # into a likely re-rejection (kills the grow->fail->re-backtrack
+        # oscillation that costs ~0.5 trials/step on structured LML surfaces —
+        # BASELINE.md round-5 line-search study).
+        grow = jnp.where(n_trials == 1, 4.0, grow_backtracked)
         t_init = jnp.where(ls_ok, jnp.minimum(grow * t_acc, 1.0), 1.0)
 
         s = x_new - x
@@ -317,7 +322,8 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
 
 
 def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5,
-             max_ls=25, carry_vjp=True, trace=False, nonmonotone_eta=0.0):
+             max_ls=25, carry_vjp=True, trace=False, nonmonotone_eta=0.0,
+             grow_backtracked=2.0):
     """Minimize `fun(x) -> scalar` from x0 (1-D array). Returns LBFGSResult.
 
     `lower`/`upper` (optional, broadcastable to x0) activate box projection.
@@ -334,6 +340,9 @@ def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5
     instead of f_k, cutting backtrack tails (which the vmapped restart batch
     pays at max-over-lanes). 0 (default) is plain monotone Armijo; the returned
     (x, f) is the best-seen iterate either way.
+    `grow_backtracked`: warm-start growth factor applied to the accepted step
+    after a BACKTRACKED accept (clean accepts always grow 4x, capped at 1).
+    1.0 = hold policy — see the line-search body comment.
     """
     x0 = jnp.asarray(x0)
     has_bounds = lower is not None or upper is not None
@@ -342,5 +351,5 @@ def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5
     return _minimize(
         fun, x0, lo, hi, maxiter, history, jnp.asarray(tol, x0.dtype),
         max_ls=max_ls, has_bounds=has_bounds, carry_vjp=carry_vjp, trace=trace,
-        nonmonotone_eta=nonmonotone_eta,
+        nonmonotone_eta=nonmonotone_eta, grow_backtracked=grow_backtracked,
     )

@@ -114,3 +114,25 @@ def test_nonmonotone_matches_monotone_optimum():
                                             nonmonotone_eta=0.5))(starts)
     np.testing.assert_allclose(np.asarray(res.x),
                                np.ones((3, 2)), atol=1e-4)
+
+
+def test_grow_backtracked_hold_policy():
+    """grow_backtracked=1.0 (hold) must reach the same optimum as the default
+    growth policy, and never spend MORE line-search trials on an objective
+    whose curvature forces a persistent sub-unit step (the grow->fail->
+    re-backtrack oscillation the hold policy removes)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_process_optimization_tpu.ops import lbfgs
+
+    # ill-scaled quartic: unit steps overshoot along the stiff coordinate
+    def f(x):
+        return 50.0 * x[0] ** 4 + (x[1] - 1.0) ** 2 + 0.5 * x[0] ** 2
+
+    x0 = jnp.asarray([2.0, -1.0])
+    res_grow = lbfgs.minimize(f, x0, maxiter=40, tol=0.0, grow_backtracked=2.0)
+    res_hold = lbfgs.minimize(f, x0, maxiter=40, tol=0.0, grow_backtracked=1.0)
+    np.testing.assert_allclose(float(res_hold.f), float(res_grow.f),
+                               rtol=1e-3, atol=1e-6)
+    assert int(res_hold.num_ls) <= int(res_grow.num_ls)
