@@ -50,7 +50,24 @@ def blocked_cholesky(A: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
     solves/updates, so the jitter ladder's finiteness check still works.
 
     Supports any leading batch dims (or none). Falls back to XLA below 2*nb.
+
+    Diagonal-block factorizations can route through the Pallas all-lanes
+    kernel (`ops/pallas_linalg.cholesky_blocks`) — ONE launch factors every
+    lane's block with the column recursion vectorized ACROSS lanes. The
+    standalone kernel beats XLA 8x (0.04 vs 0.34 ms at (5, 256, 256)), but the
+    INTEGRATED op measured slower (13.10 vs 11.87 ms at N=4096 B=5,
+    benchmarks/prof_pallas_linalg2.py), so the routing is opt-in via
+    `config.pallas_chol_blocks` (GPO_PALLAS_CHOL=1) pending an integrated win.
+    Small matrices (n < 2*nb) always use XLA: each distinct shape would pay a
+    ~5-15 min Mosaic remote compile for a sub-millisecond op.
     """
+    from . import pallas_linalg as _pli
+
+    def _diag_chol(blk):
+        if config.pallas_chol_blocks:
+            return _pli.cholesky_blocks(blk)
+        return jnp.linalg.cholesky(blk)
+
     n = A.shape[-1]
     if n < 2 * nb:
         return jnp.linalg.cholesky(A)
@@ -61,7 +78,7 @@ def blocked_cholesky(A: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
         if k0 > 0:
             Lrow = L[..., k0:k1, :k0]
             Akk = Akk - jnp.matmul(Lrow, jnp.swapaxes(Lrow, -1, -2))
-        Lkk = jnp.linalg.cholesky(Akk)
+        Lkk = _diag_chol(Akk)
         L = L.at[..., k0:k1, k0:k1].set(Lkk)
         if k1 < n:
             Ap = A[..., k1:, k0:k1]
@@ -371,13 +388,29 @@ def tri_inv_lower(L: jnp.ndarray, block: int = 256, precision=None) -> jnp.ndarr
         [[A, 0], [C, D]]^-1 = [[A^-1, 0], [-D^-1 C A^-1, D^-1]]
     (~N^3/3 FLOPs, matmul-bound). Supports leading batch dims. Exact in f32 —
     same arithmetic class as the solve it replaces.
+
+    The batched diagonal-block inverses route through the Pallas all-lanes
+    kernel (`ops/pallas_linalg.tri_inv_blocks`) when `config.pallas_tri_inv`
+    (default on — measured 10.07 vs ~11.9 ms integrated at N=4096 B=5,
+    benchmarks/prof_pallas_linalg2.py; the diag stack there has B*16 lanes,
+    the amortization regime). The n <= block path stays XLA: its lane count is
+    just B, where the kernel measured SLOWER (0.40 vs ~0.2 ms at G=5), and
+    every distinct small shape would pay a ~5-15 min Mosaic remote compile.
     """
+    from . import pallas_linalg as _pli
+
+    def _diag_inv(blk):
+        if config.pallas_tri_inv:
+            return _pli.tri_inv_blocks(blk)
+        eye = jnp.broadcast_to(jnp.eye(blk.shape[-1], dtype=blk.dtype),
+                               blk.shape)
+        return lax.linalg.triangular_solve(blk, eye, left_side=True,
+                                           lower=True)
+
     n = L.shape[-1]
     if n <= block:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
-        return lax.linalg.triangular_solve(
-            L, eye, left_side=True, lower=True
-        )
+        return lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
     # pad to a power-of-two multiple of block with identity diagonal
     nb = -(-n // block)
     levels = max(0, (nb - 1).bit_length())
@@ -395,10 +428,7 @@ def tri_inv_lower(L: jnp.ndarray, block: int = 256, precision=None) -> jnp.ndarr
          for i in range(nb)],
         axis=-3,
     )
-    inv = lax.linalg.triangular_solve(
-        diag, jnp.broadcast_to(jnp.eye(block, dtype=L.dtype), diag.shape),
-        left_side=True, lower=True,
-    )
+    inv = _diag_inv(diag)
     s = block
     while s < n_pad:
         g = inv.shape[-3]  # current number of inverted diagonal groups
