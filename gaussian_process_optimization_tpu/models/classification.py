@@ -102,6 +102,30 @@ class GPClassification:
         return model, res
 
 
+def _alternated_epdtc_optimize(model, rounds, maxiter, fix=()):
+    """Alternated EP evidence maximization for the sparse EPDTC classifiers
+    (reference EPBase ep_mode='alternated', expectation_propagation.py:188, as
+    GPClassification.optimize above): converge EP, then L-BFGS the site-fixed
+    bound (epdtc_inference(sites=...)) over hyperparameters + Z, repeat."""
+    from ..ops import lbfgs
+    from .parameters import make_packer
+
+    res = None
+    for _ in range(rounds):
+        post = model.inference()
+        tau = jax.lax.stop_gradient(post.tau_site)
+        nu = jax.lax.stop_gradient(post.nu_site)
+        packer = make_packer(model, fix=fix)
+
+        def obj(u, model=model, packer=packer, tau=tau, nu=nu):
+            m = packer.unpack(u, reference=model)
+            return -m._site_fixed_lml(tau, nu)
+
+        res = lbfgs.minimize(obj, packer.pack(model), maxiter=maxiter)
+        model = packer.unpack(res.x, reference=model)
+    return model, res
+
+
 @pytree_dataclass
 class SparseGPClassification:
     """EPDTC probit classification on inducing points
@@ -140,6 +164,21 @@ class SparseGPClassification:
 
     def log_marginal_likelihood(self):
         return self.inference().lml
+
+    def _site_fixed_lml(self, tau, nu):
+        Kmm = self.kern.K(self.Z)
+        Kmn = self.kern.K(self.Z, self.X)
+        Kdiag = self.kern.Kdiag(self.X)
+        return epdtc_inference(Kmm, Kmn, Kdiag, self.Y, Bernoulli(),
+                               mode=self.inference_mode,
+                               max_sweeps=self.max_sweeps,
+                               sites=(tau, nu)).lml
+
+    def optimize(self, rounds=3, maxiter=30):
+        """Alternated EP evidence maximization over hyperparameters AND Z
+        (the reference optimizes sparse classification the same alternated
+        way via EPBase; see _alternated_epdtc_optimize)."""
+        return _alternated_epdtc_optimize(self, rounds, maxiter)
 
     def predict_latent(self, Xnew, posterior=None):
         post = posterior if posterior is not None else self.inference()
@@ -206,6 +245,20 @@ class SparseGPClassificationUncertainInput:
 
     def log_marginal_likelihood(self):
         return self.inference().lml
+
+    def _site_fixed_lml(self, tau, nu):
+        psi0n, psi1, psi2n = self._psi_stats()
+        Kmm = self.kern.K(self.Z)
+        return epdtc_inference(Kmm, psi1.T, psi0n, self.Y, Bernoulli(),
+                               mode=self.inference_mode,
+                               max_sweeps=self.max_sweeps, psi2n=psi2n,
+                               sites=(tau, nu)).lml
+
+    def optimize(self, rounds=3, maxiter=30):
+        """Alternated EP evidence maximization; X_variance is held fixed (it
+        encodes the KNOWN input noise, not a free parameter)."""
+        return _alternated_epdtc_optimize(self, rounds, maxiter,
+                                          fix=("X_variance",))
 
     def predict_latent(self, Xnew, posterior=None):
         post = posterior if posterior is not None else self.inference()

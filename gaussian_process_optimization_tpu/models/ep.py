@@ -234,7 +234,7 @@ def _dtc_posterior_from_sites(Lm, Kmn, tau, nu):
 
 
 def epdtc_inference(Kmm, Kmn, Kdiag, y, lik, mode="parallel", eta=1.0, delta=None,
-                    max_sweeps=50, epsilon=1e-6, psi2n=None):
+                    max_sweeps=50, epsilon=1e-6, psi2n=None, sites=None):
     """Sparse EP on inducing points (GPy EPDTC :443).
 
     Runs EP sweeps on the DTC posterior (Qnn = Knm Kmm^-1 Kmn), then evaluates the
@@ -248,6 +248,12 @@ def epdtc_inference(Kmm, Kmn, Kdiag, y, lik, mode="parallel", eta=1.0, delta=Non
     DTC posterior built from psi1 (exactly the reference: EPDTC.inference :460
     sets Kmn = psi1.T); the final bound replaces Knm beta Kmn with
     sum_n beta_n psi2_n (var_dtc.py uncertain-input het branch).
+
+    `sites=(tau, nu)`: skip the EP sweeps and evaluate the bound at FIXED site
+    parameters — the hyperparameter half of the reference's alternated EP
+    evidence maximization (EPBase ep_mode='alternated', expectation_propagation
+    .py:188): the sweep while_loop is not reverse-differentiable, but at the
+    EP fixed point the site-fixed gradient equals the total derivative.
     """
     Kmm = jnp.asarray(Kmm)
     Kmn = jnp.asarray(Kmn)
@@ -320,8 +326,12 @@ def epdtc_inference(Kmm, Kmn, Kdiag, y, lik, mode="parallel", eta=1.0, delta=Non
         converged = (it > 1) & (tau_diff < epsilon) & (nu_diff < epsilon)
         return (~converged) & (it < max_sweeps)
 
-    init = sweep((tau0, nu0, jnp.full((n,), jnp.inf, Kmm.dtype), nu0, jnp.int32(0)))
-    tau, nu, _, _, _ = lax.while_loop(cond, lambda c: sweep(c), init)
+    if sites is not None:
+        tau, nu = jnp.asarray(sites[0]).reshape(-1), jnp.asarray(sites[1]).reshape(-1)
+    else:
+        init = sweep((tau0, nu0, jnp.full((n,), jnp.inf, Kmm.dtype), nu0,
+                      jnp.int32(0)))
+        tau, nu, _, _, _ = lax.while_loop(cond, lambda c: sweep(c), init)
 
     # ---- heteroscedastic VarDTC collapsed bound at the EP pseudo-data ----
     mu_post, Sigma_diag, _, _ = _dtc_posterior_from_sites(Lm, Kmn, tau, nu)

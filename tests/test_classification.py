@@ -56,6 +56,22 @@ def test_sparse_matches_dense_with_all_inducing(rng):
     np.testing.assert_allclose(ps, pd, atol=5e-3)
 
 
+def test_sparse_gp_classification_optimize_improves_evidence(rng):
+    """Alternated EP evidence maximization for the SPARSE classifier
+    (reference EPBase ep_mode='alternated' driving EPDTC): the site-fixed
+    L-BFGS rounds must increase the EP evidence and keep separation."""
+    X, y = _toy(rng, n=50)
+    m = SparseGPClassification.create(
+        X, y, kernel=kern.RBF.create(1, variance=0.3, lengthscale=3.0),
+        num_inducing=8, seed=0)
+    lml0 = float(m.log_marginal_likelihood())
+    fitted, _ = m.optimize(rounds=2, maxiter=20)
+    lml1 = float(fitted.log_marginal_likelihood())
+    assert lml1 > lml0, (lml0, lml1)
+    p = np.asarray(fitted.predict(np.array([[-1.5], [1.5]])))
+    assert p[0] < 0.3 and p[1] > 0.7
+
+
 def test_conf_matrix_counts():
     """conf_matrix (GPy util/classification.py:6): exact count bookkeeping and
     the reference's (error, TP, FP, TN, FN) return order."""
