@@ -395,7 +395,15 @@ def run_baseline():
 def main():
     _tunnel_guard()
     if "--scaling" in sys.argv:
-        print(json.dumps({"scaling": run_scaling()}))
+        # `--scaling` runs the default N grid; `--scaling=4096,32768` selects
+        # sizes (N=32768 is the single-chip HBM-edge probe, B=1 — budget a
+        # long first compile).
+        sizes = None
+        for a in sys.argv:
+            if a.startswith("--scaling="):
+                sizes = tuple(int(s) for s in a.split("=", 1)[1].split(","))
+        print(json.dumps(
+            {"scaling": run_scaling(sizes) if sizes else run_scaling()}))
         return
     ours_fit, ours_acq = run_ours()
     t_gower_lp = run_gower_lp()

@@ -138,3 +138,55 @@ def test_state_space_matches_dense(family, rng):
     mu_d, var_d = dense.predict(jnp.asarray(t_new[:, None]))
     np.testing.assert_allclose(np.asarray(mu_ss), np.asarray(mu_d), rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(var_ss), np.asarray(var_d), rtol=1e-4, atol=1e-7)
+
+
+def test_laplace_lml_gradient_is_implicit_derivative(rng):
+    """The Laplace LML must be reverse-differentiable (the mode-finding
+    while_loop is detached; one differentiable Newton step at the fixed point
+    carries the implicit derivative — exact to first order because the Newton
+    map's Jacobian vanishes at the mode). Autodiff vs central differences on
+    kernel hyperparameters, mirroring the reference's hand-derived
+    explicit+implicit dL/dtheta (GPy laplace.py:122). Poisson is log-concave,
+    so the mode is unique and f_hat(theta) is smooth — a Student-t surface can
+    hop between posterior modes discontinuously, which would break ANY
+    derivative check (including the reference's)."""
+    from gaussian_process_optimization_tpu.models.laplace import GPLaplace
+    from gaussian_process_optimization_tpu.models import likelihoods as lik2
+
+    X = np.sort(rng.uniform(0, 6, (25, 1)), axis=0)
+    Y = rng.poisson(np.exp(np.sin(X[:, 0]) + 0.5)).astype(float)
+
+    def lml(params):
+        var, ls = params
+        m = GPLaplace.create(
+            X, Y, kernel=kern.RBF.create(1, variance=var, lengthscale=ls),
+            likelihood=lik2.Poisson())
+        return m.log_marginal_likelihood()
+
+    p0 = jnp.asarray([1.3, 0.9])
+    g = np.asarray(jax.grad(lml)(p0))
+    eps = 1e-5
+    for i in range(2):
+        e = np.zeros(2)
+        e[i] = eps
+        fd = (float(lml(p0 + e)) - float(lml(p0 - e))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=2e-4, atol=1e-7)
+
+
+def test_laplace_model_fits_with_lbfgs(rng):
+    """End-to-end: fit_mod.fit on a GPLaplace Student-t model (the gallery
+    student_t_approx path) must run and improve the evidence."""
+    from gaussian_process_optimization_tpu.models import fit as fit_mod
+    from gaussian_process_optimization_tpu.models.laplace import GPLaplace
+    from gaussian_process_optimization_tpu.models import likelihoods as lik2
+
+    X = np.sort(rng.uniform(0, 6, (30, 1)), axis=0)
+    Y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(30)
+    m = GPLaplace.create(X, Y, kernel=kern.RBF.create(1, variance=0.5,
+                                                      lengthscale=2.5),
+                         likelihood=lik2.StudentT.create(deg_free=4.0))
+    lml0 = float(m.log_marginal_likelihood())
+    fitted, _ = fit_mod.fit(m, num_restarts=1, maxiter=25,
+                            key=jax.random.PRNGKey(0))
+    lml1 = float(fitted.log_marginal_likelihood())
+    assert lml1 > lml0, (lml0, lml1)
