@@ -37,9 +37,7 @@ def make_objective(packer, priors: dict[str, Prior] | None = None,
     (GPy core/parameterization/priorizable.py:57-65; fixed parameters carry no
     Jacobian there either — paramz replaces their constraint with __fixed__).
     """
-    def obj(u, model):
-        m = packer.unpack(u, reference=model)
-        total = m.log_marginal_likelihood()
+    def _tail(m, total):
         if priors:
             leaf_names = _leaf_names(m)
             leaves = jax.tree_util.tree_leaves(m)
@@ -55,6 +53,11 @@ def make_objective(packer, priors: dict[str, Prior] | None = None,
             total = total - extra_loss(m)
         return -total
 
+    def obj(u, model):
+        m = packer.unpack(u, reference=model)
+        return _tail(m, m.log_marginal_likelihood())
+
+    obj.tail = _tail
     return obj
 
 
@@ -79,6 +82,7 @@ class Fitter:
         max_ls: int = 8,
         nonmonotone_eta: float = 0.0,
         grow_backtracked: float | None = None,
+        thread_ladder: bool | None = None,
     ):
         if grow_backtracked is None:
             from ..config import config as _config
@@ -91,6 +95,37 @@ class Fitter:
         self.maxiter = maxiter
         obj = make_objective(self.packer, priors=priors)
         packer = self.packer
+        # thread_ladder: thread the accepted jitchol ladder rung across line-
+        # search trials via the L-BFGS aux channel — each trial's ladder starts
+        # at the rung the PREVIOUS ACCEPTED evaluation ended on (greedy walk up;
+        # see ops/linalg._jitchol_loop). This is the same greedy-hint policy the
+        # BO wrappers already apply ACROSS refits (bo_models.updateModel, which
+        # re-verifies minimality at the posterior factorization), with one-
+        # trial-ago freshness. OPT-IN (GPO_THREAD_LADDER=1), default OFF: the
+        # round-5 TPU A/B (benchmarks/prof_thread_ladder.py, BASELINE.md) shows
+        # the bench fit's accepted trials never leave rung 0 — ladder cost hides
+        # in REJECTED exploratory trials, which threading cannot help — and the
+        # threaded program ran ~4% slower. It wins only on workloads whose
+        # ACCEPTED path climbs (exact_feval Gower first-fits); exact
+        # GPRegression only (its LML is inference().lml and it carries the
+        # hint fields).
+        if thread_ladder is None:
+            import os
+
+            thread_ladder = bool(os.environ.get("GPO_THREAD_LADDER", ""))
+        if thread_ladder:
+            from .gp import GPRegression as _GPR
+
+            thread_ladder = type(template_model) is _GPR
+        self.thread_ladder = bool(thread_ladder)
+        if self.thread_ladder:
+            from ..utils.pytree import replace as _replace
+
+            def obj_aux(uu, hint, model):
+                m = packer.unpack(uu, reference=model)
+                m = _replace(m, jitter_hint=hint, jitter_greedy=True)
+                post = m.inference()
+                return obj.tail(m, post.lml), post.rung.astype(jnp.float32)
 
         def run(model, key):
             u0 = packer.pack(model)
@@ -105,6 +140,13 @@ class Fitter:
             else:
                 starts = u0[None]
 
+            if self.thread_ladder:
+                h0 = getattr(model, "jitter_hint", None)
+                aux0 = (jnp.zeros((), jnp.float32) if h0 is None
+                        else jnp.asarray(h0, jnp.float32).reshape(()))
+            else:
+                aux0 = None
+
             def solve(u):
                 # max_ls=8: every backtrack is a full forward (Cholesky) for the
                 # WHOLE restart batch; a lane that cannot improve within 8
@@ -118,6 +160,13 @@ class Fitter:
                 # one alpine1 seed 0.018->0.59 — same verdict as the global
                 # bf16x3 matmul knob (CLAUDE.md): speed knobs that move regret
                 # stay opt-in.
+                if aux0 is not None:
+                    return lbfgs.minimize(
+                        lambda uu, hint: obj_aux(uu, hint, model), u,
+                        maxiter=maxiter, tol=tol, history=history,
+                        max_ls=max_ls, nonmonotone_eta=nonmonotone_eta,
+                        grow_backtracked=grow_backtracked, aux0=aux0,
+                    )
                 return lbfgs.minimize(
                     lambda uu: obj(uu, model), u, maxiter=maxiter, tol=tol,
                     history=history, max_ls=max_ls,

@@ -40,6 +40,11 @@ class LBFGSResult(NamedTuple):
     # inference_plots.py:10); None on the default path so the tuned fit-loop
     # carry is untouched
     trace: jnp.ndarray = None
+    # carried aux state from the LAST ACCEPTED line-search trial — populated
+    # only when minimize(..., aux0=...) threads an aux channel through the
+    # objective (fun(x, aux) -> (f, aux_out)); None otherwise. Used by the fit
+    # path to thread the jitchol ladder rung across trials (models/fit.py).
+    aux: jnp.ndarray = None
 
 
 def _project(x, lower, upper):
@@ -52,15 +57,26 @@ def _project(x, lower, upper):
 
 def _minimize(fun, x0, lower, upper, maxiter, history, tol,
               max_ls=25, has_bounds=False, carry_vjp=True, trace=False,
-              nonmonotone_eta=0.0, grow_backtracked=2.0):
+              nonmonotone_eta=0.0, grow_backtracked=2.0, aux0=None):
     n = x0.shape[0]
     m = history
     dtype = x0.dtype
-    vg = None if carry_vjp else jax.value_and_grad(fun)
+    # aux channel (STATIC presence flag): fun(x, aux) -> (f, aux_out); the
+    # accepted trial's aux_out feeds the NEXT objective call. aux_out must have
+    # the same pytree structure/shapes as aux0 (it rides while_loop carries).
+    # The default (aux0=None) path's carries gain only empty subtrees, so its
+    # compiled program is unchanged.
+    has_aux = aux0 is not None
+    if carry_vjp:
+        vg = None
+    elif has_aux:
+        vg = jax.value_and_grad(fun, has_aux=True)
+    else:
+        vg = jax.value_and_grad(fun)
     eta = float(nonmonotone_eta)  # static: 0.0 compiles to the monotone program
 
-    def value_and_vjp(x):
-        """(f, vjp_fn): forward pass that SAVES the pullback closure.
+    def value_and_vjp(x, aux):
+        """(f, vjp_fn, aux_out): forward pass that SAVES the pullback closure.
 
         Costs the same as a value-only forward (the residuals — e.g. the exact
         GP's Cholesky factor — are intermediates the primal materializes anyway;
@@ -70,8 +86,12 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         TPU at N=4096 the old value_and_grad re-ran the 22.6 ms forward
         (K build + Cholesky) inside the 74 ms vg on a point the line search had
         just evaluated."""
+        if has_aux:
+            f, vjp_fn, aux_out = jax.vjp(lambda xx: fun(xx, aux), x,
+                                         has_aux=True)
+            return f, vjp_fn, aux_out
         f, vjp_fn = jax.vjp(fun, x)
-        return f, vjp_fn
+        return f, vjp_fn, None
 
     def proj(x):
         return _project(x, lower, upper) if has_bounds else x
@@ -82,7 +102,7 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         return x - _project(x - g, lower, upper)
 
     x0 = proj(x0)
-    f0, vjp0 = value_and_vjp(x0)
+    f0, vjp0, aux_acc = value_and_vjp(x0, aux0)
     (g0,) = vjp0(jnp.ones_like(f0))
 
     init_state = (
@@ -99,6 +119,7 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         jnp.asarray(False),        # a line search failed at max_ls trials
         f0,                        # C: Zhang-Hager nonmonotone reference value
         jnp.asarray(1.0, dtype),   # Q: Zhang-Hager weight accumulator
+        aux_acc,                   # aux from the last accepted trial (or None)
     )
     if trace:
         # trace is a STATIC flag: the buffer only joins the carry when asked
@@ -133,7 +154,7 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
 
     c1 = 1e-4
 
-    def line_search(x, f, g, d, frozen, t_init, fref):
+    def line_search(x, f, g, d, frozen, t_init, fref, aux):
         """Backtracking Armijo with vjp-saving trials; the gradient at the
         accepted point is a BACKWARD PASS ONLY (the accepted trial's vjp closure
         rides the while_loop carry — see value_and_vjp).
@@ -186,13 +207,15 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
             per-buffer loop overhead than the recompute)."""
             x_new = proj(x + t * d)
             if carry_vjp:
-                f_new, vjp_new = value_and_vjp(x_new)
+                f_new, vjp_new, aux_new = value_and_vjp(x_new, aux)
+            elif has_aux:
+                (f_new, aux_new), vjp_new = fun(x_new, aux), ()
             else:
-                f_new, vjp_new = fun(x_new), ()
+                f_new, vjp_new, aux_new = fun(x_new), (), None
             ok = jnp.isfinite(f_new) & (
                 f_new <= fref + c1 * jnp.dot(g, x_new - x) + slack
             )
-            return x_new, f_new, vjp_new, ok | frozen
+            return x_new, f_new, vjp_new, aux_new, ok | frozen
 
         def interp_step(t, f_t):
             """Safeguarded quadratic-interpolation backtrack t -> t_next."""
@@ -207,14 +230,14 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         # carry those, and rebuild the closure with the first trace's treedef
         # (structurally identical — same fun, same shapes).
         def body(state):
-            t, _, f_t, _, _, it = state
+            t, _, f_t, _, _, _, it = state
             t_next = interp_step(t, f_t)
-            x_new, f_new, vjp_new, ok = trial(t_next)
+            x_new, f_new, vjp_new, aux_new, ok = trial(t_next)
             leaves = tuple(jax.tree_util.tree_leaves(vjp_new))
-            return (t_next, x_new, f_new, leaves, ok, it + 1)
+            return (t_next, x_new, f_new, leaves, aux_new, ok, it + 1)
 
         def cond(state):
-            _, _, _, _, ok, it = state
+            _, _, _, _, _, ok, it = state
             return (~ok) & (it < max_ls)
 
         # Warm-started first trial (each batched backtrack is a full forward
@@ -222,17 +245,19 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         # whose accepted step was t last iteration probes near t again instead
         # of re-halving from 1 every step; the 2x growth lets it recover full
         # steps once the direction is well scaled.
-        x1, f1, vjp1, ok1 = trial(t_init)
+        x1, f1, vjp1, aux1, ok1 = trial(t_init)
         leaves1, vjp_tree = jax.tree_util.tree_flatten(vjp1)
-        init = (t_init, x1, f1, tuple(leaves1), ok1, jnp.int32(0))
-        t_acc, x_new, f_new, leaves_acc, ok, n_trials = lax.while_loop(
+        init = (t_init, x1, f1, tuple(leaves1), aux1, ok1, jnp.int32(0))
+        t_acc, x_new, f_new, leaves_acc, aux_acc, ok, n_trials = lax.while_loop(
             cond, body, init)
         if carry_vjp:
             vjp_acc = jax.tree_util.tree_unflatten(vjp_tree, list(leaves_acc))
             (g_new,) = vjp_acc(jnp.ones_like(f_new))
+        elif has_aux:
+            (f_new, aux_acc), g_new = vg(x_new, aux)
         else:
             f_new, g_new = vg(x_new)
-        return x_new, f_new, g_new, ok & ~frozen, n_trials + 1, t_acc
+        return x_new, f_new, g_new, ok & ~frozen, n_trials + 1, t_acc, aux_acc
 
     def cond(state):
         k = state[0]
@@ -241,9 +266,9 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
 
     def body(state):
         if trace:
-            state, (ftrace,) = state[:16], state[16:]
+            state, (ftrace,) = state[:17], state[17:]
         (k, x, f, g, S, Ys, rho, gamma, xb, fb, frozen, n_ls, t_init,
-         ls_failed, C, Q) = state
+         ls_failed, C, Q, aux) = state
         d = two_loop(k, g, S, Ys, rho, gamma)
         # safeguard: if d is not a descent direction, fall back to steepest descent
         descent = jnp.dot(g, d) < 0
@@ -254,8 +279,8 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         # C_k >= f_k by construction (Zhang & Hager lemma 1.1); max() guards
         # float round-off. eta == 0 collapses to C == f (plain monotone Armijo).
         fref = jnp.maximum(f, C) if eta > 0.0 else f
-        x_new, f_new, g_new, ls_ok, n_trials, t_acc = line_search(
-            x, f, g, d, frozen, t_init, fref)
+        x_new, f_new, g_new, ls_ok, n_trials, t_acc, aux = line_search(
+            x, f, g, d, frozen, t_init, fref, aux)
         n_ls = n_ls + n_trials
         # next first-trial step: grow the accepted step, capped at 1; after a
         # failed search reset to 1 (the lane freezes anyway). Growth is 4x after
@@ -299,16 +324,16 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
         else:
             C = f_new
         out = (k + 1, x_new, f_new, g_new, S, Ys, rho, gamma, xb, fb, frozen_new,
-               n_ls, t_init, ls_failed, C, Q)
+               n_ls, t_init, ls_failed, C, Q, aux)
         if trace:
             out = out + (ftrace.at[k + 1].set(f_new),)
         return out
 
     final = lax.while_loop(cond, body, init_state)
-    ftrace_final = final[16] if trace else None
-    final = final[:16]
+    ftrace_final = final[17] if trace else None
+    final = final[:17]
     (k, _, _, _, _, _, _, _, xb, fb, frozen_final, n_ls, _, ls_failed,
-     _, _) = final
+     _, _, aux_final) = final
 
     # If even the initial point is non-finite, return x0 (GPyOpt optimizer.py:54-56).
     bad_start = ~jnp.isfinite(f0)
@@ -318,12 +343,13 @@ def _minimize(fun, x0, lower, upper, maxiter, history, tol,
     # tolerance cases only. A lane that ran out of maxiter is neither.
     converged = frozen_final & ~ls_failed & ~bad_start
     return LBFGSResult(x=xb, f=fb, num_iters=k, converged=converged, num_ls=n_ls,
-                       failed=ls_failed | bad_start, trace=ftrace_final)
+                       failed=ls_failed | bad_start, trace=ftrace_final,
+                       aux=aux_final)
 
 
 def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5,
              max_ls=25, carry_vjp=True, trace=False, nonmonotone_eta=0.0,
-             grow_backtracked=2.0):
+             grow_backtracked=2.0, aux0=None):
     """Minimize `fun(x) -> scalar` from x0 (1-D array). Returns LBFGSResult.
 
     `lower`/`upper` (optional, broadcastable to x0) activate box projection.
@@ -343,6 +369,12 @@ def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5
     `grow_backtracked`: warm-start growth factor applied to the accepted step
     after a BACKTRACKED accept (clean accepts always grow 4x, capped at 1).
     1.0 = hold policy — see the line-search body comment.
+    `aux0` (optional pytree): activates the aux channel — `fun(x, aux)` must
+    return `(f, aux_out)` with `aux_out` structurally identical to `aux0`; each
+    objective call receives the aux from the LAST ACCEPTED evaluation (the
+    initial call receives `aux0`), and `result.aux` holds the final one. The
+    aux is inert to differentiation (it is vjp `has_aux` output). Used to
+    thread the jitchol ladder rung across fit line-search trials.
     """
     x0 = jnp.asarray(x0)
     has_bounds = lower is not None or upper is not None
@@ -352,4 +384,5 @@ def minimize(fun, x0, lower=None, upper=None, maxiter=1000, history=10, tol=1e-5
         fun, x0, lo, hi, maxiter, history, jnp.asarray(tol, x0.dtype),
         max_ls=max_ls, has_bounds=has_bounds, carry_vjp=carry_vjp, trace=trace,
         nonmonotone_eta=nonmonotone_eta, grow_backtracked=grow_backtracked,
+        aux0=aux0,
     )

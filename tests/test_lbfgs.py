@@ -136,3 +136,45 @@ def test_grow_backtracked_hold_policy():
     np.testing.assert_allclose(float(res_hold.f), float(res_grow.f),
                                rtol=1e-3, atol=1e-6)
     assert int(res_hold.num_ls) <= int(res_grow.num_ls)
+
+
+def test_aux_channel_threads_accepted_state():
+    """aux0 mode: fun(x, aux) -> (f, aux_out); each call receives the aux of
+    the LAST ACCEPTED evaluation and result.aux holds the final one. The
+    solution must match the plain path exactly (aux is inert to the math)."""
+    A = jnp.asarray(np.diag([1.0, 10.0, 100.0]))
+    b = jnp.asarray([1.0, -2.0, 3.0])
+
+    def f_plain(x):
+        return 0.5 * x @ A @ x - b @ x
+
+    def f_aux(x, aux):
+        # aux counts accepted-evaluation generations: every call sees the
+        # previous ACCEPTED value and returns it + 1
+        return f_plain(x), aux + 1.0
+
+    res_p = lbfgs.minimize(f_plain, jnp.zeros(3), maxiter=200, tol=1e-9)
+    res_a = lbfgs.minimize(f_aux, jnp.zeros(3), maxiter=200, tol=1e-9,
+                           aux0=jnp.zeros(()))
+    np.testing.assert_allclose(np.asarray(res_a.x), np.asarray(res_p.x))
+    np.testing.assert_allclose(float(res_a.f), float(res_p.f))
+    # the chain grows by exactly one per ACCEPTED evaluation: the init call +
+    # one per outer iteration (the accepted trial) — rejected trials' aux is
+    # dropped with the trial
+    assert float(res_a.aux) == float(res_a.num_iters) + 1.0
+    assert res_p.aux is None
+
+
+def test_aux_channel_under_vmap():
+    def f_aux(x, aux):
+        return jnp.sum((x - 1.0) ** 2), aux + 1.0
+
+    x0s = jnp.stack([jnp.zeros(2), jnp.full(2, 3.0)])
+    res = jax.vmap(
+        lambda x0: lbfgs.minimize(f_aux, x0, maxiter=100, tol=1e-9,
+                                  aux0=jnp.zeros(()))
+    )(x0s)
+    np.testing.assert_allclose(np.asarray(res.x), np.ones((2, 2)), atol=1e-6)
+    assert res.aux.shape == (2,)
+    np.testing.assert_allclose(np.asarray(res.aux),
+                               np.asarray(res.num_iters, dtype=float) + 1.0)
