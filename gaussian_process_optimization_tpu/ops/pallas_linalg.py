@@ -170,6 +170,14 @@ def _run_blocks(A, make_kernel, interpret):
         ],
         out_specs=pl.BlockSpec((gc, nb, nb), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        # blocks + per-micro-panel stack temporaries total ~17 MB at
+        # gc=8/nb=256 — over Mosaic's 16 MB DEFAULT scoped-vmem limit
+        # (a remote-compiler default change surfaced this mid-round-5 as a
+        # compile-time OOM). v5e has 128 MB of VMEM; raise the scoped limit
+        # explicitly so the budget is ours, not the compiler default's.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(A)
     return out[:G]
